@@ -1,0 +1,25 @@
+"""Global numerics configuration.
+
+The reference computes everything in float32 (torch CPU) or float64 (NumPy
+frontends). On TPU the MXU natively multiplies in bfloat16; to hold the
+FAD <= 1e-3 parity bar, parity-critical matmuls/convs request full float32
+precision (3/6-pass bf16 composition) by default. Set FAD_TPU_PRECISION to
+'default' or 'bfloat16' to trade parity for throughput.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "high": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+    "bfloat16": jax.lax.Precision.DEFAULT,
+}
+
+
+def matmul_precision() -> jax.lax.Precision:
+    return _PRECISIONS[os.environ.get("FAD_TPU_PRECISION", "highest").lower()]

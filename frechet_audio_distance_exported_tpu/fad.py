@@ -1,0 +1,225 @@
+"""TPU-native Fréchet Audio Distance — public API.
+
+API surface mirrors the reference FrechetAudioDistance (reference:
+fad.py:164-662): same constructor kwargs, same methods
+(score / get_embeddings / _get_embedding_for_audio /
+calculate_embd_statistics / calculate_frechet_distance / _load_audio_files),
+same model names, same -1 error sentinel and .npy embedding caching.
+
+What changed underneath (TPU-first):
+- the per-file torch loop became a batched, bucketed, jitted JAX pipeline
+  (pipeline.EmbeddingPipeline);
+- models are JAX pytrees loaded from .npz bundles, not torch artifacts;
+- statistics can stream on device and all-reduce over a TPU mesh
+  (parallel.embed); scoring supports a fully on-device Fréchet epilogue.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from . import registry
+from .ops import stats as stats_ops
+from .pipeline import EmbeddingPipeline
+from .utils import audio_io
+from .utils import weights as weight_store
+
+# Re-exported registry tables (reference: fad.py:95-130).
+VALID_MODELS = registry.VALID_MODELS
+PANN_SAMPLE_RATES = registry.PANN_SAMPLE_RATES
+ENCODEC_SAMPLE_RATES = registry.ENCODEC_SAMPLE_RATES
+
+load_audio = audio_io.load_audio
+
+
+class FrechetAudioDistance:
+    """API-compatible FAD calculator running on TPU via JAX/XLA.
+
+    Example:
+        >>> fad = FrechetAudioDistance(model_name="vggish")
+        >>> score = fad.score("background_audio/", "eval_audio/")
+    """
+
+    def __init__(
+        self,
+        ckpt_dir: Optional[str] = None,
+        model_name: str = "vggish",
+        sample_rate: Optional[int] = None,
+        channels: int = 1,
+        verbose: bool = False,
+        audio_load_worker: int = 8,
+        weights: str = "auto",
+        seed: int = 0,
+        file_batch: int = 8,
+        patch_chunk: int = 128,
+    ):
+        """Initialize the FAD calculator.
+
+        Args (reference-compatible, reference: fad.py:178-226):
+            ckpt_dir: folder for weight bundles (.npz). Defaults to an
+                XDG cache dir (FAD_TPU_CKPT_DIR overrides).
+            model_name: one of VALID_MODELS.
+            sample_rate: must equal the model default or be None.
+            channels: number of channels (1 for mono).
+            verbose: progress printing.
+            audio_load_worker: decode thread count.
+        Extensions:
+            weights: 'auto' (load/convert bundle) or 'random' (tests/benches).
+            seed: PRNG seed for weights='random'.
+            file_batch / patch_chunk: batching knobs of the TPU pipeline.
+        """
+        if model_name not in VALID_MODELS:
+            raise ValueError(
+                f"Unknown model: {model_name}. Valid options: {list(VALID_MODELS.keys())}"
+            )
+
+        model_config = VALID_MODELS[model_name]
+        expected_sr = model_config["sample_rate"]
+        if sample_rate is None:
+            sample_rate = expected_sr
+        elif sample_rate != expected_sr:
+            raise ValueError(
+                f"Model '{model_name}' requires sample_rate={expected_sr}, got {sample_rate}"
+            )
+
+        self.model_name = model_name
+        self.sample_rate = sample_rate
+        self.channels = channels
+        self.verbose = verbose
+        self.audio_load_worker = audio_load_worker
+        self._weights_mode = weights
+        self._seed = seed
+        self._file_batch = file_batch
+        self._patch_chunk = patch_chunk
+
+        import jax
+
+        self.device = jax.devices()[0]
+        if self.verbose:
+            print(f"[FAD-TPU] Using device: {self.device}")
+
+        if ckpt_dir is not None:
+            os.makedirs(ckpt_dir, exist_ok=True)
+            self.ckpt_dir = ckpt_dir
+        else:
+            self.ckpt_dir = registry.default_ckpt_dir()
+            os.makedirs(self.ckpt_dir, exist_ok=True)
+
+        self._load_model()
+
+    def _load_model(self):
+        """Resolve weights and build the batched embedding pipeline."""
+        self.params = weight_store.get_params(
+            self.model_name, self.ckpt_dir, weights=self._weights_mode, seed=self._seed
+        )
+        self.pipeline = EmbeddingPipeline(
+            self.model_name,
+            self.params,
+            file_batch=self._file_batch,
+            patch_chunk=self._patch_chunk,
+            verbose=self.verbose,
+        )
+
+    # ------------------------------------------------------------------
+    # Embeddings
+    # ------------------------------------------------------------------
+
+    def get_embeddings(self, x: List[np.ndarray], sr: int) -> np.ndarray:
+        """Embeddings for a list of audio arrays, concatenated over files
+        (row semantics per model match the reference: per-patch for VGGish,
+        per-file for PANN/CLAP, per-frame for Encodec; reference:
+        fad.py:302-408)."""
+        per_file = self.pipeline.embed_files(x, sr, strict=False)
+        embd_lst = [e for e in per_file if e is not None]
+        if not embd_lst:
+            return np.array([])
+        return np.concatenate(embd_lst, axis=0)
+
+    def _get_embedding_for_audio(self, audio: np.ndarray) -> np.ndarray:
+        """Single-file hook (reference: fad.py:410-481); raises on error."""
+        return self.pipeline.embed_single(audio, self.sample_rate)
+
+    # ------------------------------------------------------------------
+    # Statistics & metric
+    # ------------------------------------------------------------------
+
+    def calculate_embd_statistics(self, embd_lst):
+        """Mean/covariance (host float64 exact; reference: fad.py:483-496)."""
+        if isinstance(embd_lst, list):
+            embd_lst = np.array(embd_lst)
+        return stats_ops.calculate_embd_statistics_np(embd_lst)
+
+    def calculate_frechet_distance(self, mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
+        """Fréchet distance between two Gaussians (reference: fad.py:498-555)."""
+        return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2, eps=eps)
+
+    # ------------------------------------------------------------------
+    # Audio loading & scoring
+    # ------------------------------------------------------------------
+
+    def _load_audio_files(self, dir: str, dtype: str = "float32") -> List[np.ndarray]:
+        return audio_io.load_audio_files(
+            dir,
+            self.sample_rate,
+            self.channels,
+            dtype=dtype,
+            num_workers=self.audio_load_worker,
+            verbose=self.verbose,
+        )
+
+    def score(
+        self,
+        background_dir: str,
+        eval_dir: str,
+        background_embds_path: Optional[str] = None,
+        eval_embds_path: Optional[str] = None,
+        dtype: str = "float32",
+    ) -> float:
+        """FAD between two directories of audio files.
+
+        Returns the score, or -1 on any error (reference sentinel,
+        reference: fad.py:593-662). Embedding .npy caching semantics match
+        the reference (fad.py:616-637).
+        """
+        try:
+            if background_embds_path and os.path.exists(background_embds_path):
+                if self.verbose:
+                    print(f"[FAD-TPU] Loading embeddings from {background_embds_path}...")
+                embds_background = np.load(background_embds_path)
+            else:
+                audio_background = self._load_audio_files(background_dir, dtype=dtype)
+                embds_background = self.get_embeddings(audio_background, sr=self.sample_rate)
+                if background_embds_path:
+                    os.makedirs(os.path.dirname(background_embds_path), exist_ok=True)
+                    np.save(background_embds_path, embds_background)
+
+            if eval_embds_path and os.path.exists(eval_embds_path):
+                if self.verbose:
+                    print(f"[FAD-TPU] Loading embeddings from {eval_embds_path}...")
+                embds_eval = np.load(eval_embds_path)
+            else:
+                audio_eval = self._load_audio_files(eval_dir, dtype=dtype)
+                embds_eval = self.get_embeddings(audio_eval, sr=self.sample_rate)
+                if eval_embds_path:
+                    os.makedirs(os.path.dirname(eval_embds_path), exist_ok=True)
+                    np.save(eval_embds_path, embds_eval)
+
+            if len(embds_background) == 0:
+                print("[FAD-TPU] Background set dir is empty, exiting...")
+                return -1
+            if len(embds_eval) == 0:
+                print("[FAD-TPU] Eval set dir is empty, exiting...")
+                return -1
+
+            mu_background, sigma_background = self.calculate_embd_statistics(embds_background)
+            mu_eval, sigma_eval = self.calculate_embd_statistics(embds_eval)
+
+            return self.calculate_frechet_distance(
+                mu_background, sigma_background, mu_eval, sigma_eval
+            )
+        except Exception as e:
+            print(f"[FAD-TPU] An error occurred: {e}")
+            return -1

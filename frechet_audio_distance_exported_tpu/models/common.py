@@ -1,0 +1,168 @@
+"""Functional NN building blocks shared by all model families.
+
+Pure-pytree design: params are nested dicts of jnp arrays, forwards are pure
+functions — trivially jittable, shardable with shard_map, and loadable from
+.npz weight bundles without any framework coupling.
+
+Conventions:
+- Activations are NHWC, conv kernels HWIO (TPU-native layouts; the reference's
+  torch NCHW/OIHW weights are transposed once at extraction time by
+  tools/extract_weights.py).
+- Linear weights are [in, out].
+- BatchNorm is inference-only (folded to scale/shift at call time); the
+  reference models are inference-only too.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import matmul_precision
+
+
+def conv2d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: Tuple[int, int] = (1, 1),
+    padding="SAME",
+) -> jnp.ndarray:
+    """NHWC conv with HWIO kernel."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=stride, padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def conv1d(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    dilation: int = 1,
+) -> jnp.ndarray:
+    """NWC conv with WIO kernel, VALID padding (callers pad explicitly —
+    Encodec's asymmetric reflect pads are applied outside)."""
+    out = jax.lax.conv_general_dilated(
+        x, w, window_strides=(stride,), padding="VALID",
+        rhs_dilation=(dilation,),
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def max_pool2d(x: jnp.ndarray, window: Tuple[int, int], stride: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC max pool, VALID padding (floor semantics, matching torch)."""
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max,
+        window_dimensions=(1,) + window + (1,),
+        window_strides=(1,) + stride + (1,),
+        padding="VALID",
+    )
+
+
+def avg_pool2d(x: jnp.ndarray, window: Tuple[int, int], stride: Tuple[int, int]) -> jnp.ndarray:
+    """NHWC average pool, VALID padding (floor semantics, matching torch)."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add,
+        window_dimensions=(1,) + window + (1,),
+        window_strides=(1,) + stride + (1,),
+        padding="VALID",
+    )
+    return summed / float(window[0] * window[1])
+
+
+def batch_norm(x: jnp.ndarray, p: dict, eps: float = 1e-5) -> jnp.ndarray:
+    """Inference batch norm along the trailing (channel) axis.
+
+    p: {'gamma','beta','mean','var'} 1-D arrays of the channel size.
+    """
+    scale = p["gamma"] * jax.lax.rsqrt(p["var"] + eps)
+    shift = p["beta"] - p["mean"] * scale
+    return x * scale + shift
+
+
+def group_norm_full(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """GroupNorm with a single group over [B, ..., C]: normalize each example
+    over every non-batch axis, then apply per-channel affine (trailing axis).
+
+    Matches torch nn.GroupNorm(1, C) as used by Encodec's time_group_norm.
+    """
+    axes = tuple(range(1, x.ndim))
+    mean = jnp.mean(x, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """LayerNorm over the trailing axis."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+
+
+def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    out = jnp.matmul(x, w, preferred_element_type=jnp.float32, precision=matmul_precision())
+    if b is not None:
+        out = out + b
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Initializers (torch-default-like; used for random-weight tests/benches)
+# ---------------------------------------------------------------------------
+
+
+def init_conv2d(rng, kh, kw, cin, cout, bias=True):
+    k1, k2 = jax.random.split(rng)
+    fan_in = kh * kw * cin
+    bound = float(np.sqrt(1.0 / fan_in))
+    p = {"w": jax.random.uniform(k1, (kh, kw, cin, cout), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_conv1d(rng, k, cin, cout, bias=True):
+    k1, k2 = jax.random.split(rng)
+    fan_in = k * cin
+    bound = float(np.sqrt(1.0 / fan_in))
+    p = {"w": jax.random.uniform(k1, (k, cin, cout), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_linear(rng, cin, cout, bias=True):
+    k1, k2 = jax.random.split(rng)
+    bound = float(np.sqrt(1.0 / cin))
+    p = {"w": jax.random.uniform(k1, (cin, cout), jnp.float32, -bound, bound)}
+    if bias:
+        p["b"] = jax.random.uniform(k2, (cout,), jnp.float32, -bound, bound)
+    return p
+
+
+def init_batch_norm(dim):
+    return {
+        "gamma": jnp.ones((dim,), jnp.float32),
+        "beta": jnp.zeros((dim,), jnp.float32),
+        "mean": jnp.zeros((dim,), jnp.float32),
+        "var": jnp.ones((dim,), jnp.float32),
+    }
+
+
+def init_layer_norm(dim):
+    return {"gamma": jnp.ones((dim,), jnp.float32), "beta": jnp.zeros((dim,), jnp.float32)}

@@ -1,0 +1,188 @@
+"""Core DSP building blocks, designed for the TPU MXU.
+
+The reference computes STFTs with np.fft / librosa on the host
+(reference: models/vggish.py:125-141, models/pann.py:107-118). On TPU the
+idiomatic formulation is a *matmul-DFT*: the analysis window is folded into a
+dense [window, n_bins] cos/sin matrix so the whole frontend becomes
+framing (gather) -> one [T, W] x [W, 2F] matmul -> elementwise power/magnitude
+-> one [T, F] x [F, M] mel matmul -> log. Every FLOP lands on the MXU and XLA
+fuses the elementwise stages into the matmuls.
+
+Host-side constant builders (float64 NumPy, cached per config):
+- periodic Hann window                 (reference: models/vggish.py:120-122)
+- windowed rFFT cos/sin matrices
+- HTK mel matrix, DC bin zeroed        (reference: models/vggish.py:150-190)
+- Slaney mel matrix (librosa parity)   (reference: models/pann.py:121-127)
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import matmul_precision
+
+# ---------------------------------------------------------------------------
+# Windows
+# ---------------------------------------------------------------------------
+
+
+def periodic_hann(window_length: int) -> np.ndarray:
+    """Periodic Hann window: 0.5 - 0.5*cos(2*pi*n/N).
+
+    Both the VGGish frontend (reference: models/vggish.py:120-122) and
+    librosa's default 'hann' (fftbins=True) use the periodic variant.
+    """
+    return 0.5 - 0.5 * np.cos(2.0 * np.pi / window_length * np.arange(window_length))
+
+
+# ---------------------------------------------------------------------------
+# Matmul-DFT matrices
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=16)
+def windowed_dft_matrices(window_length: int, fft_length: int):
+    """[W, F] cos / sin matrices with the periodic-Hann window folded in.
+
+    For frames x[.., W]:  re = x @ C, im = x @ S  equals
+    np.fft.rfft(x * hann, fft_length). F = fft_length//2 + 1.
+    """
+    w = periodic_hann(window_length)
+    n = np.arange(window_length)[:, None]
+    k = np.arange(fft_length // 2 + 1)[None, :]
+    ang = 2.0 * np.pi * n * k / fft_length
+    cos_m = (w[:, None] * np.cos(ang)).astype(np.float32)
+    sin_m = (-w[:, None] * np.sin(ang)).astype(np.float32)
+    return cos_m, sin_m
+
+
+# ---------------------------------------------------------------------------
+# Mel filterbanks
+# ---------------------------------------------------------------------------
+
+_MEL_BREAK_FREQUENCY_HERTZ = 700.0
+_MEL_HIGH_FREQUENCY_Q = 1127.0
+
+
+def _hertz_to_mel_htk(frequencies_hertz):
+    return _MEL_HIGH_FREQUENCY_Q * np.log(1.0 + (frequencies_hertz / _MEL_BREAK_FREQUENCY_HERTZ))
+
+
+@functools.lru_cache(maxsize=16)
+def htk_mel_matrix(
+    num_mel_bins: int,
+    num_spectrogram_bins: int,
+    audio_sample_rate: int,
+    lower_edge_hertz: float,
+    upper_edge_hertz: float,
+) -> np.ndarray:
+    """[F, M] HTK-style triangular mel matrix with the DC bin zeroed.
+
+    Matches the Google VGGish frontend (reference: models/vggish.py:150-190):
+    unnormalized triangles on the HTK mel scale, spectrogram DC bin excluded.
+    """
+    nyquist = audio_sample_rate / 2.0
+    if lower_edge_hertz < 0.0:
+        raise ValueError(f"lower_edge_hertz {lower_edge_hertz} must be >= 0")
+    if lower_edge_hertz >= upper_edge_hertz:
+        raise ValueError(f"lower_edge_hertz {lower_edge_hertz} >= upper_edge_hertz {upper_edge_hertz}")
+    if upper_edge_hertz > nyquist:
+        raise ValueError(f"upper_edge_hertz {upper_edge_hertz} is greater than Nyquist {nyquist}")
+
+    bins_hz = np.linspace(0.0, nyquist, num_spectrogram_bins)
+    bins_mel = _hertz_to_mel_htk(bins_hz)
+    edges_mel = np.linspace(
+        _hertz_to_mel_htk(lower_edge_hertz), _hertz_to_mel_htk(upper_edge_hertz), num_mel_bins + 2
+    )
+    lower = edges_mel[:-2][None, :]
+    center = edges_mel[1:-1][None, :]
+    upper = edges_mel[2:][None, :]
+    lower_slope = (bins_mel[:, None] - lower) / (center - lower)
+    upper_slope = (upper - bins_mel[:, None]) / (upper - center)
+    weights = np.maximum(0.0, np.minimum(lower_slope, upper_slope))
+    weights[0, :] = 0.0  # HTK excludes the spectrogram DC bin
+    return weights.astype(np.float32)
+
+
+def _hz_to_mel_slaney(frequencies):
+    frequencies = np.asanyarray(frequencies, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    mels = (frequencies - f_min) / f_sp
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = frequencies >= min_log_hz
+    mels = np.where(
+        log_region,
+        min_log_mel + np.log(np.maximum(frequencies, min_log_hz) / min_log_hz) / logstep,
+        mels,
+    )
+    return mels
+
+
+def _mel_to_hz_slaney(mels):
+    mels = np.asanyarray(mels, dtype=np.float64)
+    f_min, f_sp = 0.0, 200.0 / 3
+    freqs = f_min + f_sp * mels
+    min_log_hz = 1000.0
+    min_log_mel = (min_log_hz - f_min) / f_sp
+    logstep = np.log(6.4) / 27.0
+    log_region = mels >= min_log_mel
+    freqs = np.where(log_region, min_log_hz * np.exp(logstep * (mels - min_log_mel)), freqs)
+    return freqs
+
+
+@functools.lru_cache(maxsize=16)
+def slaney_mel_matrix(
+    sample_rate: int, n_fft: int, n_mels: int, fmin: float, fmax: float
+) -> np.ndarray:
+    """[F, M] Slaney-scale, Slaney-normalized mel matrix (librosa parity).
+
+    Replicates librosa.filters.mel(htk=False, norm='slaney'), the frontend the
+    reference PANN/CLAP path uses (reference: models/pann.py:121-127).
+    Returned transposed ([F, M]) so the mel stage is a plain right-matmul.
+    """
+    fftfreqs = np.linspace(0.0, sample_rate / 2.0, 1 + n_fft // 2)
+    mel_f = _mel_to_hz_slaney(
+        np.linspace(_hz_to_mel_slaney(fmin), _hz_to_mel_slaney(fmax), n_mels + 2)
+    )
+    fdiff = np.diff(mel_f)
+    ramps = mel_f[:, None] - fftfreqs[None, :]
+    lower = -ramps[:-2] / fdiff[:-1][:, None]
+    upper = ramps[2:] / fdiff[1:][:, None]
+    weights = np.maximum(0.0, np.minimum(lower, upper))
+    enorm = 2.0 / (mel_f[2 : n_mels + 2] - mel_f[:n_mels])
+    weights *= enorm[:, None]
+    return weights.T.astype(np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Framing + spectrogram (jit-able)
+# ---------------------------------------------------------------------------
+
+
+def frame_signal(x: jnp.ndarray, num_frames: int, window_length: int, hop_length: int) -> jnp.ndarray:
+    """Frame [..., S] -> [..., num_frames, window_length] via a static gather.
+
+    Mirrors the strided framing in the reference (models/vggish.py:102-117)
+    but with static shapes so XLA can tile it.
+    """
+    idx = np.arange(num_frames)[:, None] * hop_length + np.arange(window_length)[None, :]
+    return x[..., idx]
+
+
+def stft_power(frames: jnp.ndarray, window_length: int, fft_length: int) -> jnp.ndarray:
+    """|rfft(frames * hann)|^2 via matmul-DFT. frames: [..., T, W] -> [..., T, F]."""
+    cos_m, sin_m = windowed_dft_matrices(window_length, fft_length)
+    re = jnp.matmul(frames, jnp.asarray(cos_m), preferred_element_type=jnp.float32, precision=matmul_precision())
+    im = jnp.matmul(frames, jnp.asarray(sin_m), preferred_element_type=jnp.float32, precision=matmul_precision())
+    return re * re + im * im
+
+
+def stft_magnitude(frames: jnp.ndarray, window_length: int, fft_length: int) -> jnp.ndarray:
+    """|rfft(frames * hann)| via matmul-DFT. frames: [..., T, W] -> [..., T, F]."""
+    return jnp.sqrt(stft_power(frames, window_length, fft_length))

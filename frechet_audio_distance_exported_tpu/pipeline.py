@@ -1,0 +1,361 @@
+"""Batched embedding pipeline: the TPU-native inversion of the reference's
+per-file Python loop (reference: fad.py:302-408).
+
+Design: the host only decodes/resamples (thread pool) and applies tiny
+reflect pads; audio is then packed into a small set of static shape buckets
+and pushed through ONE jitted batched function per (model, bucket) signature:
+
+    waveform batch -> matmul-DFT frontend -> embedding network -> rows+masks
+
+Static-shape planning rules (each is part of the reference numerics):
+- VGGish: per-file patch count P_i = floor(frames_i / 96); patches beyond P_i
+  are masked out (reference drops the tail, models/vggish.py:263-271).
+- PANN: files are grouped by their minimal valid time grid T = 32k - 24;
+  log-mel rows in [T_i, T) are zeroed exactly like the reference's zero pad
+  (reference: fad.py:41-66). Files with different grids are never mixed —
+  the grid length feeds global pooling and is observable in the embedding.
+- CLAP: fixed [B, 1001, 64] (reference: fad.py:38, 354-362).
+- Encodec: fixed 10 s waveforms; output trimmed to samples//320 frames
+  (reference: fad.py:334-348).
+
+Row ordering of the concatenated embedding matrix matches the reference
+(files in input order; patches/frames in time order within a file).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import registry
+from .ops import frontends as fe
+from .ops.resample import resample
+
+
+def bucket_len(n: int, minimum: int = 2048) -> int:
+    """Smallest {2^k, 1.5*2^k} >= max(n, minimum): <=33% padding waste while
+    keeping the number of distinct compiled shapes logarithmic."""
+    n = max(int(n), minimum)
+    p = 1 << (int(n - 1).bit_length())
+    if 3 * p // 4 >= n:
+        return 3 * p // 4
+    return p
+
+
+def bucket_batch(n: int, cap: int) -> int:
+    """Pad batch sizes to powers of two up to ``cap``."""
+    if n >= cap:
+        return cap
+    return 1 << (int(n - 1).bit_length() if n > 1 else 0)
+
+
+class EmbeddingPipeline:
+    """Embeds lists of (already decoded/resampled) waveforms for one model."""
+
+    def __init__(
+        self,
+        model_name: str,
+        params,
+        file_batch: int = 8,
+        patch_chunk: int = 128,
+        verbose: bool = False,
+    ):
+        self.cfg = registry.get_model_config(model_name)
+        self.params = params
+        self.file_batch = file_batch
+        self.patch_chunk = patch_chunk
+        self.verbose = verbose
+        self._forward = self._resolve_forward()
+
+    def _resolve_forward(self) -> Callable:
+        family = self.cfg.family
+        if family == "vggish":
+            from .models.vggish import vggish_forward
+
+            return vggish_forward
+        if family == "pann":
+            from .models.pann import pann_forward
+
+            return pann_forward
+        if family == "encodec":
+            from .models.encodec import encodec_forward
+
+            causal = self.cfg.sample_rate == 24000
+            return functools.partial(encodec_forward, causal=causal)
+        if family == "clap":
+            from .models.clap import clap_forward
+
+            return clap_forward
+        raise ValueError(f"Unknown family: {family}")
+
+    # ------------------------------------------------------------------
+    # Public entry points
+    # ------------------------------------------------------------------
+
+    def embed_files(
+        self, audio_list: List[np.ndarray], sr: int, strict: bool = False
+    ) -> List[Optional[np.ndarray]]:
+        """Per-file embedding matrices, in input order.
+
+        strict=False mirrors the reference's per-file error swallowing
+        (reference: fad.py:400-403): a file whose preprocessing fails yields
+        None instead of raising.
+        """
+        family = self.cfg.family
+        if family == "vggish":
+            return self._embed_vggish(audio_list, sr, strict)
+        if family == "pann":
+            return self._embed_pann(audio_list, sr, strict)
+        if family == "clap":
+            return self._embed_clap(audio_list, sr, strict)
+        if family == "encodec":
+            return self._embed_encodec(audio_list, sr, strict)
+        raise ValueError(f"Unknown family: {family}")
+
+    def embed_single(self, audio: np.ndarray, sr: int) -> np.ndarray:
+        """Single-file hook (reference: fad.py:410-481) — raises on error."""
+        out = self.embed_files([audio], sr, strict=True)[0]
+        return out
+
+    # ------------------------------------------------------------------
+    # Shared chunked model application
+    # ------------------------------------------------------------------
+
+    def _run_model_chunked(self, rows: jnp.ndarray) -> np.ndarray:
+        """Apply the embedding network over [N, ...] rows in fixed-size chunks
+        (one XLA program per chunk size, sizes drawn from pow2 buckets)."""
+        n = rows.shape[0]
+        outs = []
+        start = 0
+        while start < n:
+            take = min(self.patch_chunk, n - start)
+            padded = bucket_batch(take, self.patch_chunk)
+            chunk = jax.lax.dynamic_slice_in_dim(rows, start, take, axis=0)
+            if padded != take:
+                pad_widths = [(0, padded - take)] + [(0, 0)] * (rows.ndim - 1)
+                chunk = jnp.pad(chunk, pad_widths)
+            out = self._forward(self.params, chunk)
+            outs.append(out[:take])
+            start += take
+        return np.concatenate([np.asarray(o) for o in outs], axis=0)
+
+    # ------------------------------------------------------------------
+    # VGGish
+    # ------------------------------------------------------------------
+
+    def _embed_vggish(self, audio_list, sr, strict):
+        prepped: List[Optional[np.ndarray]] = []
+        for audio in audio_list:
+            try:
+                data = np.asarray(audio)
+                if data.ndim > 1:
+                    data = np.mean(data, axis=1)
+                if sr != fe.VGGISH_SAMPLE_RATE:
+                    data = resample(data, sr, fe.VGGISH_SAMPLE_RATE)
+                if fe.vggish_num_patches(len(data)) == 0:
+                    raise ValueError(
+                        f"Audio too short for VGGish ({len(data)} samples < 0.96 s)"
+                    )
+                prepped.append(data.astype(np.float32))
+            except Exception as e:
+                if strict:
+                    raise
+                self._log_skip(e)
+                prepped.append(None)
+
+        # Group by waveform bucket; compute patches per group.
+        groups: Dict[int, List[int]] = {}
+        for i, data in enumerate(prepped):
+            if data is None:
+                continue
+            groups.setdefault(bucket_len(len(data)), []).append(i)
+
+        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        for s_bucket, idxs in sorted(groups.items()):
+            p_max = fe.vggish_num_patches(s_bucket)
+            for c0 in range(0, len(idxs), self.file_batch):
+                chunk_idx = idxs[c0 : c0 + self.file_batch]
+                b = bucket_batch(len(chunk_idx), self.file_batch)
+                wave = np.zeros((b, s_bucket), dtype=np.float32)
+                p_counts = []
+                for row, i in enumerate(chunk_idx):
+                    wave[row, : len(prepped[i])] = prepped[i]
+                    p_counts.append(fe.vggish_num_patches(len(prepped[i])))
+                patches = fe.vggish_patches_batch(jnp.asarray(wave), p_max)
+                # Select only the valid patches of each file, preserving order.
+                sel_rows, sel_patch = [], []
+                for row, count in enumerate(p_counts):
+                    sel_rows.extend([row] * count)
+                    sel_patch.extend(range(count))
+                valid = patches[jnp.asarray(sel_rows), jnp.asarray(sel_patch)]
+                emb = self._run_model_chunked(valid)
+                off = 0
+                for i, count in zip(chunk_idx, p_counts):
+                    per_file[i] = emb[off : off + count]
+                    off += count
+        return per_file
+
+    # ------------------------------------------------------------------
+    # PANN
+    # ------------------------------------------------------------------
+
+    def _embed_pann(self, audio_list, sr, strict):
+        target_sr = self.cfg.sample_rate
+        cfg = fe.PANN_CONFIGS[target_sr]
+        n_fft, hop = cfg["window_size"], cfg["hop_size"]
+
+        prepped: List[Optional[Tuple[np.ndarray, int]]] = []
+        for audio in audio_list:
+            try:
+                data = np.asarray(audio)
+                if data.ndim > 1:
+                    data = np.mean(data, axis=1)
+                if sr != target_sr:
+                    data = resample(data, sr, target_sr)
+                data = data.astype(np.float32)
+                t_i = fe.pann_num_frames(len(data), hop)
+                t_grid = fe.pann_valid_time(t_i)
+                if t_grid < 40:
+                    # The CNN needs time/32 >= 1 after five floor-halving pools;
+                    # the torch reference errors out on such inputs too.
+                    raise ValueError(f"Audio too short for PANN (grid {t_grid} < 40 frames)")
+                padded = fe.reflect_pad_host(data, n_fft)
+                prepped.append((padded, t_i))
+            except Exception as e:
+                if strict:
+                    raise
+                self._log_skip(e)
+                prepped.append(None)
+
+        groups: Dict[int, List[int]] = {}
+        for i, item in enumerate(prepped):
+            if item is None:
+                continue
+            groups.setdefault(fe.pann_valid_time(item[1]), []).append(i)
+
+        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        for t_grid, idxs in sorted(groups.items()):
+            length = t_grid * hop + n_fft  # covers every member's padded signal
+            for c0 in range(0, len(idxs), self.file_batch):
+                chunk_idx = idxs[c0 : c0 + self.file_batch]
+                b = bucket_batch(len(chunk_idx), self.file_batch)
+                wave = np.zeros((b, length), dtype=np.float32)
+                n_valid = np.zeros((b,), dtype=np.int32)
+                for row, i in enumerate(chunk_idx):
+                    padded, t_i = prepped[i]
+                    wave[row, : len(padded)] = padded
+                    n_valid[row] = t_i
+                log_mel = fe.pann_logmel_batch(
+                    jnp.asarray(wave), target_sr, t_grid, jnp.asarray(n_valid)
+                )
+                emb = np.asarray(self._forward(self.params, log_mel))
+                for row, i in enumerate(chunk_idx):
+                    per_file[i] = emb[row : row + 1]
+        return per_file
+
+    # ------------------------------------------------------------------
+    # CLAP
+    # ------------------------------------------------------------------
+
+    def _embed_clap(self, audio_list, sr, strict):
+        n_fft = fe.PANN_CONFIGS[fe.CLAP_SAMPLE_RATE]["window_size"]
+        prepped: List[Optional[np.ndarray]] = []
+        for audio in audio_list:
+            try:
+                data = np.asarray(audio)
+                if data.ndim > 1:
+                    data = np.mean(data, axis=1)
+                # Pad the *waveform* to 10 s before the mel (reference:
+                # fad.py:354-359), then quantize (zeros are fixed points).
+                if len(data) < fe.CLAP_MAX_SAMPLES:
+                    data = np.pad(data, (0, fe.CLAP_MAX_SAMPLES - len(data)))
+                data = data.astype(np.float32)
+                data = (data * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
+                if sr != fe.CLAP_SAMPLE_RATE:
+                    data = resample(data, sr, fe.CLAP_SAMPLE_RATE).astype(np.float32)
+                prepped.append(fe.reflect_pad_host(data, n_fft))
+            except Exception as e:
+                if strict:
+                    raise
+                self._log_skip(e)
+                prepped.append(None)
+
+        groups: Dict[int, List[int]] = {}
+        for i, item in enumerate(prepped):
+            if item is None:
+                continue
+            groups.setdefault(bucket_len(len(item)), []).append(i)
+
+        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        for s_bucket, idxs in sorted(groups.items()):
+            for c0 in range(0, len(idxs), self.file_batch):
+                chunk_idx = idxs[c0 : c0 + self.file_batch]
+                b = bucket_batch(len(chunk_idx), self.file_batch)
+                wave = np.zeros((b, s_bucket), dtype=np.float32)
+                for row, i in enumerate(chunk_idx):
+                    wave[row, : len(prepped[i])] = prepped[i]
+                log_mel = fe.pann_logmel_batch(
+                    jnp.asarray(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES
+                )
+                emb = np.asarray(self._forward(self.params, log_mel))
+                for row, i in enumerate(chunk_idx):
+                    per_file[i] = emb[row : row + 1]
+        return per_file
+
+    # ------------------------------------------------------------------
+    # Encodec
+    # ------------------------------------------------------------------
+
+    def _embed_encodec(self, audio_list, sr, strict):
+        target_sr = self.cfg.sample_rate
+        config = fe.ENCODEC_CONFIGS[target_sr]
+        channels, hop = config["channels"], config["hop_length"]
+        max_samples = config["max_samples"]
+
+        prepped: List[Optional[Tuple[np.ndarray, int]]] = []
+        for audio in audio_list:
+            try:
+                audio = np.asarray(audio)
+                # Original length for output trimming (reference: fad.py:324-328).
+                if sr != target_sr:
+                    original_samples = int(len(audio) * target_sr / sr)
+                else:
+                    original_samples = len(audio)
+                pre = fe.preprocess_for_encodec(
+                    audio, sr, target_sample_rate=target_sr,
+                    target_channels=channels, return_tensor=False,
+                )  # [C, S]
+                if pre.shape[-1] > max_samples:
+                    raise ValueError(
+                        f"Audio too long: {pre.shape[-1]} samples > {max_samples} max samples"
+                    )
+                fixed = np.zeros((channels, max_samples), dtype=np.float32)
+                fixed[:, : pre.shape[-1]] = pre
+                prepped.append((fixed, original_samples // hop))
+            except Exception as e:
+                if strict:
+                    raise
+                self._log_skip(e)
+                prepped.append(None)
+
+        idxs = [i for i, p in enumerate(prepped) if p is not None]
+        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        for c0 in range(0, len(idxs), self.file_batch):
+            chunk_idx = idxs[c0 : c0 + self.file_batch]
+            b = bucket_batch(len(chunk_idx), self.file_batch)
+            wave = np.zeros((b, channels, max_samples), dtype=np.float32)
+            for row, i in enumerate(chunk_idx):
+                wave[row] = prepped[i][0]
+            emb = np.asarray(self._forward(self.params, jnp.asarray(wave)))  # [B, T, 128]
+            for row, i in enumerate(chunk_idx):
+                frames = prepped[i][1]
+                per_file[i] = emb[row, :frames]
+        return per_file
+
+    def _log_skip(self, e: Exception) -> None:
+        if self.verbose:
+            print(f"[FAD-TPU] Error processing audio: {e}")

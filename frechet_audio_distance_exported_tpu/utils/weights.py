@@ -1,0 +1,120 @@
+"""Weight store: .npz param bundles <-> JAX pytrees, plus random init.
+
+The reference ships weights inside opaque torch .pt2/.pt artifacts downloaded
+at runtime (reference: fad.py:249-300). Here weights live in flat .npz bundles
+(key paths like "blocks/3/conv1/w") produced once by tools/extract_weights.py
+from those artifacts / upstream checkpoints; loading is torch-free.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import registry
+
+
+def flatten_params(params, prefix: str = "") -> Dict[str, np.ndarray]:
+    out = {}
+    if isinstance(params, dict):
+        items = params.items()
+    elif isinstance(params, (list, tuple)):
+        items = ((str(i), v) for i, v in enumerate(params))
+    else:
+        return {prefix.rstrip("/"): np.asarray(params)}
+    for k, v in items:
+        out.update(flatten_params(v, f"{prefix}{k}/"))
+    return out
+
+
+def unflatten_params(flat: Dict[str, np.ndarray]):
+    root: dict = {}
+    for key, value in flat.items():
+        parts = key.split("/")
+        node = root
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = jnp.asarray(value)
+    return _lists_from_int_keys(root)
+
+
+def _lists_from_int_keys(node):
+    if not isinstance(node, dict):
+        return node
+    node = {k: _lists_from_int_keys(v) for k, v in node.items()}
+    if node and all(re.fullmatch(r"\d+", k) for k in node):
+        return [node[str(i)] for i in range(len(node))]
+    return node
+
+
+def save_weights(path: str, params) -> None:
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    np.savez(path, **{k: np.asarray(v) for k, v in flatten_params(params).items()})
+
+
+def load_weights(path: str):
+    with np.load(path) as data:
+        return unflatten_params({k: data[k] for k in data.files})
+
+
+def init_random_params(model_name: str, seed: int = 0):
+    """Randomly initialized params for a model family (tests/benches only)."""
+    rng = jax.random.PRNGKey(seed)
+    cfg = registry.get_model_config(model_name)
+    if cfg.family == "vggish":
+        from ..models.vggish import init_vggish_params
+
+        return init_vggish_params(rng)
+    if cfg.family == "pann":
+        from ..models.pann import init_pann_params
+
+        return init_pann_params(rng)
+    if cfg.family == "encodec":
+        from ..models.encodec import init_encodec_params
+
+        return init_encodec_params(rng, causal=(cfg.sample_rate == 24000),
+                                   channels=cfg.channels)
+    if cfg.family == "clap":
+        from ..models.clap import init_clap_params
+
+        return init_clap_params(rng)
+    raise ValueError(f"Unknown model family for {model_name}")
+
+
+def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int = 0):
+    """Resolve params for a model.
+
+    weights='auto': load <ckpt_dir>/<bundle>.npz; if absent but the reference
+    torch artifact is present in ckpt_dir, convert it in-process (requires
+    torch, dev-time only); otherwise raise with instructions.
+    weights='random': torch-default-like random init (tests/benches).
+    """
+    if weights == "random":
+        return init_random_params(model_name, seed)
+
+    cfg = registry.get_model_config(model_name)
+    bundle_path = os.path.join(ckpt_dir, cfg.weight_filename)
+    if os.path.exists(bundle_path):
+        return load_weights(bundle_path)
+
+    artifact_path = os.path.join(ckpt_dir, cfg.reference_artifact)
+    if os.path.exists(artifact_path):
+        from importlib import import_module
+
+        extract = import_module("tools.extract_weights")
+        params = extract.extract(model_name, artifact_path)
+        save_weights(bundle_path, params)
+        return params
+
+    raise FileNotFoundError(
+        f"Weight bundle not found at {bundle_path} and no reference artifact "
+        f"({cfg.reference_artifact}) to convert in {ckpt_dir}. Run "
+        f"tools/extract_weights.py --model {model_name} --ckpt-dir {ckpt_dir} "
+        f"(requires the reference artifact and torch), or pass weights='random' "
+        f"for testing."
+    )
