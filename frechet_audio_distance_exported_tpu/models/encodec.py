@@ -1,0 +1,183 @@
+"""Encodec SEANet encoder (TPU-native re-implementation).
+
+The reference ships Meta's Encodec encoder only as an opaque TorchScript trace
+(reference: fad.py:292-295, scripts/export_encodec.py:231-277; architecture
+facts at scripts/export_encodec.py:146-168 and README.md:361). This module
+re-implements the SEANetEncoder itself:
+
+- input conv k=7 (channels -> 32)
+- 4 stages, downsample ratios [2, 4, 5, 8] (total hop 320): each stage is a
+  residual block (ELU -> conv k=3 dim->dim/2 -> ELU -> conv k=1 dim/2->dim,
+  plus a k=1 shortcut conv) followed by ELU and a strided conv k=2r, s=r that
+  doubles the width (32 -> 64 -> 128 -> 256 -> 512)
+- 2-layer LSTM(512) with residual skip (lax.scan; the input projection of each
+  layer is hoisted out of the scan as one big MXU matmul)
+- ELU -> output conv k=7 (512 -> 128)
+
+Variant differences (Meta encodec 0.1.x):
+- 24 kHz: mono, causal=True, weight_norm (folded into the extracted weights)
+- 48 kHz: stereo, causal=False, GroupNorm(1, C) ('time_group_norm') after
+  every conv
+
+Padding replicates encodec's math.ceil-based asymmetric reflect padding
+statically (the reference had to torch.jit.trace because torch.export chokes
+on it, scripts/export_encodec.py:231-239; with static shapes it is just
+Python arithmetic at trace time).
+
+Input:  [B, C, S] float32 waveform, S fixed at 10 s (240k/480k samples)
+Output: [B, S//320, 128] per-frame embeddings
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+
+from . import common
+
+EMBEDDING_SIZE = 128
+N_FILTERS = 32
+DIMENSION = 128
+RATIOS = (2, 4, 5, 8)  # encoder order (reversed [8,5,4,2] of the decoder spec)
+LSTM_LAYERS = 2
+
+
+# ---------------------------------------------------------------------------
+# Conv with encodec's asymmetric reflect padding (static shapes)
+# ---------------------------------------------------------------------------
+
+
+def _pad_amounts(length: int, kernel: int, stride: int, causal: bool):
+    padding_total = kernel - stride
+    n_frames = (length - kernel + padding_total) / stride + 1
+    ideal_length = (math.ceil(n_frames) - 1) * stride + (kernel - padding_total)
+    extra = ideal_length - length
+    if causal:
+        return padding_total, extra
+    right = padding_total // 2
+    return padding_total - right, right + extra
+
+
+def _sconv(p: dict, x: jnp.ndarray, kernel: int, stride: int, causal: bool) -> jnp.ndarray:
+    """x: [B, T, C] -> conv (+ optional GroupNorm(1, C)) with reflect padding."""
+    left, right = _pad_amounts(x.shape[1], kernel, stride, causal)
+    if left or right:
+        x = jnp.pad(x, ((0, 0), (left, right), (0, 0)), mode="reflect")
+    y = common.conv1d(x, p["w"], p["b"], stride=stride)
+    if "gn" in p:
+        y = common.group_norm_full(y, p["gn"]["gamma"], p["gn"]["beta"])
+    return y
+
+
+def _res_block(p: dict, x: jnp.ndarray, causal: bool) -> jnp.ndarray:
+    h = jax.nn.elu(x)
+    h = _sconv(p["conv1"], h, kernel=3, stride=1, causal=causal)
+    h = jax.nn.elu(h)
+    h = _sconv(p["conv2"], h, kernel=1, stride=1, causal=causal)
+    return _sconv(p["shortcut"], x, kernel=1, stride=1, causal=causal) + h
+
+
+# ---------------------------------------------------------------------------
+# LSTM (2 layers, residual skip) via lax.scan
+# ---------------------------------------------------------------------------
+
+
+def _lstm_layer(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """One torch-semantics LSTM layer over [B, T, H] -> [B, T, H].
+
+    The input projection runs as a single [B*T, H] x [H, 4H] matmul before the
+    scan; the scan body only carries the recurrent matmul.
+    """
+    b, t, h = x.shape
+    gates_x = common.linear(x.reshape(b * t, h), p["w_ih"], p["b_ih"]).reshape(b, t, 4 * h)
+    gates_x = jnp.swapaxes(gates_x, 0, 1)  # [T, B, 4H] time-major for scan
+
+    def step(carry, gx):
+        h_prev, c_prev = carry
+        gates = gx + common.linear(h_prev, p["w_hh"], p["b_hh"])
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+        hy = jax.nn.sigmoid(o) * jnp.tanh(c)
+        return (hy, c), hy
+
+    init = (jnp.zeros((b, h), x.dtype), jnp.zeros((b, h), x.dtype))
+    _, ys = jax.lax.scan(step, init, gates_x)
+    return jnp.swapaxes(ys, 0, 1)
+
+
+def _slstm(p: dict, x: jnp.ndarray) -> jnp.ndarray:
+    """2-layer LSTM with the SEANet residual skip (y = lstm(x) + x)."""
+    y = _lstm_layer(p["l0"], x)
+    y = _lstm_layer(p["l1"], y)
+    return y + x
+
+
+# ---------------------------------------------------------------------------
+# Encoder forward
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("causal",))
+def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.ndarray:
+    """[B, C, S] waveform -> [B, S//320, 128] frame embeddings."""
+    h = jnp.swapaxes(x, 1, 2)  # NWC
+    h = _sconv(params["conv_in"], h, kernel=7, stride=1, causal=causal)
+    for ratio, stage in zip(RATIOS, params["stages"]):
+        h = _res_block(stage["res"], h, causal)
+        h = jax.nn.elu(h)
+        h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)
+    h = _slstm(params["lstm"], h)
+    h = jax.nn.elu(h)
+    h = _sconv(params["conv_out"], h, kernel=7, stride=1, causal=causal)
+    return h  # [B, T, 128]
+
+
+# ---------------------------------------------------------------------------
+# Init (random weights for tests/benches; real weights via tools/)
+# ---------------------------------------------------------------------------
+
+
+def _init_sconv(rng, k, cin, cout, group_norm: bool):
+    p = common.init_conv1d(rng, k, cin, cout)
+    if group_norm:
+        p["gn"] = common.init_layer_norm(cout)
+    return p
+
+
+def init_encodec_params(rng: jax.Array, causal: bool = True, channels: int = 1) -> dict:
+    """causal=True mirrors the 24 kHz variant (weight_norm folded, no GN);
+    causal=False mirrors 48 kHz (GroupNorm after every conv)."""
+    gn = not causal
+    keys = iter(jax.random.split(rng, 32))
+    params = {"conv_in": _init_sconv(next(keys), 7, channels, N_FILTERS, gn), "stages": []}
+    mult = 1
+    for ratio in RATIOS:
+        dim = N_FILTERS * mult
+        params["stages"].append(
+            {
+                "res": {
+                    "conv1": _init_sconv(next(keys), 3, dim, dim // 2, gn),
+                    "conv2": _init_sconv(next(keys), 1, dim // 2, dim, gn),
+                    "shortcut": _init_sconv(next(keys), 1, dim, dim, gn),
+                },
+                "down": _init_sconv(next(keys), 2 * ratio, dim, 2 * dim, gn),
+            }
+        )
+        mult *= 2
+    hidden = N_FILTERS * mult  # 512
+    bound = float(1.0 / math.sqrt(hidden))
+    lstm = {}
+    for layer in ("l0", "l1"):
+        k1, k2, k3, k4 = jax.random.split(next(keys), 4)
+        lstm[layer] = {
+            "w_ih": jax.random.uniform(k1, (hidden, 4 * hidden), jnp.float32, -bound, bound),
+            "w_hh": jax.random.uniform(k2, (hidden, 4 * hidden), jnp.float32, -bound, bound),
+            "b_ih": jax.random.uniform(k3, (4 * hidden,), jnp.float32, -bound, bound),
+            "b_hh": jax.random.uniform(k4, (4 * hidden,), jnp.float32, -bound, bound),
+        }
+    params["lstm"] = lstm
+    params["conv_out"] = _init_sconv(next(keys), 7, hidden, DIMENSION, gn)
+    return params

@@ -32,36 +32,51 @@ import numpy as np
 
 
 class StreamingStats(NamedTuple):
-    """Single-pass accumulator: count, sum, sum of outer products."""
+    """Single-pass accumulator: count, (shifted) sum, (shifted) outer products.
+
+    ``shift`` is a fixed reference vector subtracted from every row before
+    accumulation. A shift near E[x] turns the catastrophic cancellation of the
+    naive non-centered second moment (ss - n*mu*mu^T, which costs ~3 decimal
+    digits in float32) into a well-conditioned computation; the final (mu,
+    sigma) are shift-invariant in exact arithmetic.
+    """
 
     n: jnp.ndarray  # [] float32
     s: jnp.ndarray  # [d]
     ss: jnp.ndarray  # [d, d]
+    shift: jnp.ndarray  # [d]
 
 
-def init_stats(dim: int, dtype=jnp.float32) -> StreamingStats:
+def init_stats(dim: int, dtype=jnp.float32, shift: Optional[jnp.ndarray] = None) -> StreamingStats:
+    if shift is None:
+        shift = jnp.zeros((dim,), dtype)
     return StreamingStats(
-        n=jnp.zeros((), dtype), s=jnp.zeros((dim,), dtype), ss=jnp.zeros((dim, dim), dtype)
+        n=jnp.zeros((), dtype),
+        s=jnp.zeros((dim,), dtype),
+        ss=jnp.zeros((dim, dim), dtype),
+        shift=jnp.asarray(shift, dtype),
     )
 
 
 @jax.jit
 def update_stats(state: StreamingStats, x: jnp.ndarray, mask: jnp.ndarray) -> StreamingStats:
     """Accumulate a [B, d] chunk; mask [B] zeroes padded rows."""
-    xm = x * mask[:, None]
+    xc = x - state.shift
+    xm = xc * mask[:, None]
     return StreamingStats(
         n=state.n + jnp.sum(mask),
         s=state.s + jnp.sum(xm, axis=0),
-        ss=state.ss + jnp.matmul(xm.T, x, preferred_element_type=jnp.float32),
+        ss=state.ss + jnp.matmul(xm.T, xc, preferred_element_type=jnp.float32),
+        shift=state.shift,
     )
 
 
 def finalize_stats(state: StreamingStats) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(μ, Σ) with the unbiased (N-1) normalization of np.cov(rowvar=False)
     (reference: fad.py:494-495)."""
-    mu = state.s / state.n
-    sigma = (state.ss - jnp.outer(mu, state.s)) / (state.n - 1.0)
-    return mu, sigma
+    mu_c = state.s / state.n
+    sigma = (state.ss - jnp.outer(mu_c, state.s)) / (state.n - 1.0)
+    return mu_c + state.shift, sigma
 
 
 def calculate_embd_statistics_np(embd: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:

@@ -14,8 +14,15 @@ if "xla_force_host_platform_device_count" not in _flags:
 import sys
 from pathlib import Path
 
+import jax
 import numpy as np
 import pytest
+
+# The environment's sitecustomize force-selects the axon (TPU) platform and
+# overrides JAX_PLATFORMS; re-pin to CPU with 8 virtual devices here, before
+# any backend initialization.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 REPO_ROOT = Path(__file__).parent.parent
 sys.path.insert(0, str(REPO_ROOT))

@@ -1,0 +1,68 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: sharded statistics and
+the fused scoring step must equal the single-chip results (a tier the
+reference has no equivalent of — SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frechet_audio_distance_exported_tpu.models.vggish import init_vggish_params, vggish_forward
+from frechet_audio_distance_exported_tpu.ops import stats as st
+from frechet_audio_distance_exported_tpu.parallel import embed, mesh
+
+
+@pytest.fixture(scope="module")
+def vggish_params():
+    return init_vggish_params(jax.random.PRNGKey(0))
+
+
+def test_eight_virtual_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_stats_match_single_chip(vggish_params):
+    m = mesh.data_mesh()
+    n_dev = len(jax.devices())
+    b = 2 * n_dev
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, 96, 64))
+    mask = jnp.ones((b,)).at[-3:].set(0.0)
+
+    fn = embed.make_sharded_embed_stats(m, vggish_forward)
+    n, s, ss = fn(vggish_params, x, mask)
+
+    emb = vggish_forward(vggish_params, x)
+    state = st.update_stats(st.init_stats(128), emb, mask)
+    np.testing.assert_allclose(float(n), float(state.n))
+    np.testing.assert_allclose(np.asarray(s), np.asarray(state.s), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(state.ss), rtol=1e-4, atol=1e-3)
+
+
+def test_sharded_score_step_matches_host():
+    """Fused shard_map scoring step == host-f64 reference, using a linear
+    embedding model with O(1) output scale (random-weight CNNs make FAD ~1e-5
+    where float32 relative comparison is meaningless)."""
+    m = mesh.data_mesh()
+    n_dev = len(jax.devices())
+    b = 32 * n_dev
+    d_in, d_out = 24, 16
+    w = jax.random.normal(jax.random.PRNGKey(0), (d_in, d_out)) / np.sqrt(d_in)
+
+    def linear_model(params, x):
+        return x @ params
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(2))
+    rows_bg = jax.random.normal(k1, (b, d_in))
+    rows_ev = jax.random.normal(k2, (b, d_in)) * 1.2 + 0.3
+    ones = jnp.ones((b,))
+
+    step = embed.make_sharded_score_step(m, linear_model)
+    fused = float(step(w, rows_bg, ones, rows_ev, ones))
+
+    e1 = np.asarray(linear_model(w, rows_bg), dtype=np.float64)
+    e2 = np.asarray(linear_model(w, rows_ev), dtype=np.float64)
+    ref = st.frechet_distance_np(
+        e1.mean(0), np.cov(e1, rowvar=False), e2.mean(0), np.cov(e2, rowvar=False)
+    )
+    assert ref > 0.1  # meaningful scale
+    assert abs(fused - ref) / ref < 2e-2, (fused, ref)

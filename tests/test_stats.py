@@ -1,0 +1,117 @@
+"""Statistics and Fréchet-distance tests: streaming accumulator vs np.mean /
+np.cov, on-device trace-sqrtm (eigh + Newton-Schulz) vs scipy."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from frechet_audio_distance_exported_tpu.ops import stats as st
+
+
+def _random_gaussian_stats(rng, d, n=500, scale=1.0):
+    x = rng.standard_normal((n, d)) * scale
+    mu = x.mean(axis=0)
+    sigma = np.cov(x, rowvar=False)
+    return mu, sigma
+
+
+class TestStreamingStats:
+    def test_matches_numpy_mean_cov(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((257, 32)).astype(np.float32) + 5.0  # nonzero mean
+        # Shifted accumulator (shift ~ E[x]): tight float32 agreement.
+        state = st.init_stats(32, shift=jnp.asarray(x[:16].mean(axis=0)))
+        for lo, hi in [(0, 100), (100, 200), (200, 257)]:
+            chunk = x[lo:hi]
+            state = st.update_stats(state, jnp.asarray(chunk), jnp.ones(chunk.shape[0]))
+        mu, sigma = st.finalize_stats(state)
+        mu_np, sigma_np = st.calculate_embd_statistics_np(x)
+        np.testing.assert_allclose(np.asarray(mu), mu_np, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sigma), sigma_np, rtol=1e-3, atol=1e-3)
+
+    def test_unshifted_accumulator_close(self):
+        rng = np.random.default_rng(3)
+        x = rng.standard_normal((257, 32)).astype(np.float32)
+        state = st.init_stats(32)
+        state = st.update_stats(state, jnp.asarray(x), jnp.ones(x.shape[0]))
+        mu, sigma = st.finalize_stats(state)
+        mu_np, sigma_np = st.calculate_embd_statistics_np(x)
+        np.testing.assert_allclose(np.asarray(mu), mu_np, rtol=1e-5, atol=1e-5)
+        # float32 single-pass cancellation: ~1e-3 absolute
+        np.testing.assert_allclose(np.asarray(sigma), sigma_np, atol=2e-3)
+
+    def test_masked_rows_excluded(self):
+        rng = np.random.default_rng(1)
+        x = rng.standard_normal((16, 8)).astype(np.float32)
+        state = st.init_stats(8)
+        padded = np.concatenate([x, 1e6 * np.ones((4, 8), np.float32)])
+        mask = np.concatenate([np.ones(16), np.zeros(4)]).astype(np.float32)
+        state = st.update_stats(state, jnp.asarray(padded), jnp.asarray(mask))
+        mu, sigma = st.finalize_stats(state)
+        mu_np, sigma_np = st.calculate_embd_statistics_np(x)
+        np.testing.assert_allclose(np.asarray(mu), mu_np, rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(sigma), sigma_np, rtol=1e-3, atol=2e-3)
+
+
+class TestFrechetNp:
+    def test_identical_gaussians_zero(self):
+        mu, sigma = _random_gaussian_stats(np.random.default_rng(0), 16)
+        assert abs(st.frechet_distance_np(mu, sigma, mu, sigma)) < 1e-8
+
+    def test_shifted_mean_equals_squared_distance(self):
+        mu, sigma = _random_gaussian_stats(np.random.default_rng(1), 16)
+        mu2 = mu + 1.0
+        d = st.frechet_distance_np(mu, sigma, mu2, sigma)
+        assert abs(d - 16.0) < 1e-6
+
+    def test_known_diagonal_case(self):
+        # N(0, I) vs N(0, 4I) in d dims: d_F^2 = d*(1 + 4 - 2*2) = d.
+        d = 8
+        mu = np.zeros(d)
+        assert abs(st.frechet_distance_np(mu, np.eye(d), mu, 4 * np.eye(d)) - d) < 1e-8
+
+    def test_singular_product_eps_retry(self, capsys):
+        d = 6
+        mu = np.zeros(d)
+        sigma = np.zeros((d, d))  # fully singular
+        out = st.frechet_distance_np(mu, sigma, mu + 1.0, sigma)
+        assert np.isfinite(out)
+
+
+class TestFrechetJax:
+    @pytest.mark.parametrize("d", [8, 64, 256])
+    @pytest.mark.parametrize("method", ["eigh", "newton_schulz"])
+    def test_matches_scipy(self, d, method):
+        rng = np.random.default_rng(d)
+        mu1, s1 = _random_gaussian_stats(rng, d, n=4 * d)
+        mu2, s2 = _random_gaussian_stats(rng, d, n=4 * d, scale=1.3)
+        mu2 = mu2 + 0.1
+        ref = st.frechet_distance_np(mu1, s1, mu2, s2)
+        got = float(
+            st.frechet_distance_jax(
+                jnp.asarray(mu1, jnp.float32), jnp.asarray(s1, jnp.float32),
+                jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32),
+                method=method,
+            )
+        )
+        # float32 device floor: ~3e-3 relative (eigh), ~4e-2 (Newton-Schulz
+        # through the FAD cancellation); the default host path is exact f64.
+        tol = 1e-2 if method == "eigh" else 6e-2
+        assert abs(got - ref) / max(abs(ref), 1.0) < tol, (got, ref)
+
+    def test_rank_deficient_matches_scipy(self):
+        """Covariances from fewer samples than dims (the PANN regime)."""
+        d, n = 64, 20
+        rng = np.random.default_rng(7)
+        x1 = rng.standard_normal((n, d))
+        x2 = rng.standard_normal((n, d)) + 0.2
+        mu1, s1 = x1.mean(0), np.cov(x1, rowvar=False)
+        mu2, s2 = x2.mean(0), np.cov(x2, rowvar=False)
+        ref = st.frechet_distance_np(mu1, s1, mu2, s2)
+        got = float(
+            st.frechet_distance_jax(
+                jnp.asarray(mu1, jnp.float32), jnp.asarray(s1, jnp.float32),
+                jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32),
+            )
+        )
+        assert abs(got - ref) / max(abs(ref), 1.0) < 2e-2, (got, ref)
