@@ -1,0 +1,112 @@
+"""Benchmark: VGGish embedding throughput (audio-min/sec/chip) on TPU vs the
+reference's CPU-torch execution model.
+
+The reference publishes no benchmarks (BASELINE.md); the north-star target is
+>= 10x the CPU torch VGGish embedding throughput (BASELINE.json). The
+baseline measured here is a CPU torch forward of the identical VGGish
+architecture (what torch.export executes under the reference), on this
+machine; `vs_baseline` is ours/theirs.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+CLIP_SECONDS = 10.0
+FILES_PER_STEP = 64
+PATCH_SECONDS = 0.96
+
+
+def bench_tpu():
+    import jax
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.models.vggish import (
+        init_vggish_params,
+        vggish_forward,
+    )
+    from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+    params = init_vggish_params(jax.random.PRNGKey(0))
+    s = int(CLIP_SECONDS * fe.VGGISH_SAMPLE_RATE)
+    num_patches = fe.vggish_num_patches(s)
+
+    @jax.jit
+    def step(params, wave):
+        patches = fe.vggish_patches_batch(wave, num_patches)
+        return vggish_forward(params, patches.reshape(-1, 96, 64))
+
+    import numpy as np
+
+    wave = jax.random.normal(jax.random.PRNGKey(1), (FILES_PER_STEP, s), jnp.float32) * 0.1
+    # Timing forces a device->host materialization every iteration:
+    # block_until_ready is unreliable through the axon tunnel, and a real
+    # scoring pipeline fetches embeddings anyway.
+    out = np.asarray(step(params, wave))  # compile + warmup
+    n_iters = 3
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        out = np.asarray(step(params, wave))
+    dt = (time.perf_counter() - t0) / n_iters
+    patches_per_step = FILES_PER_STEP * num_patches
+    return patches_per_step / dt, out.shape[0]
+
+
+def bench_torch_cpu(n_patches: int = 128):
+    import numpy as np
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+    convs = []
+    cin = 1
+    for v in [64, "M", 128, "M", 256, 256, "M", 512, 512, "M"]:
+        if v == "M":
+            convs.append(nn.MaxPool2d(2, 2))
+        else:
+            convs.append(nn.Conv2d(cin, v, 3, padding=1))
+            convs.append(nn.ReLU(inplace=True))
+            cin = v
+    model = nn.Sequential(
+        *convs,
+        nn.Flatten(),
+        nn.Linear(512 * 4 * 6, 4096), nn.ReLU(True),
+        nn.Linear(4096, 4096), nn.ReLU(True),
+        nn.Linear(4096, 128),
+    )
+    model.eval()
+    x = torch.randn(n_patches, 1, 96, 64)
+    with torch.no_grad():
+        model(x[:8])  # warmup
+        t0 = time.perf_counter()
+        model(x)
+        dt = time.perf_counter() - t0
+    return n_patches / dt
+
+
+def main():
+    tpu_patches_per_sec, _ = bench_tpu()
+    torch_patches_per_sec = bench_torch_cpu()
+    to_audio_min_per_sec = PATCH_SECONDS / 60.0
+    value = tpu_patches_per_sec * to_audio_min_per_sec
+    baseline = torch_patches_per_sec * to_audio_min_per_sec
+    print(
+        json.dumps(
+            {
+                "metric": "vggish_embedding_throughput",
+                "value": round(value, 3),
+                "unit": "audio_min/sec/chip",
+                "vs_baseline": round(value / baseline, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,279 @@
+"""Weight-extraction round-trip tests: build torch modules with the
+reference's exact module layouts, export/trace/save them the way the
+reference artifacts are produced, run tools/extract_weights.py on the
+artifact, and check the JAX model reproduces the torch outputs."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+import torch.nn.functional as F  # noqa: E402
+
+import jax  # noqa: E402
+
+from tools import extract_weights as ew  # noqa: E402
+
+
+def _build_torch_vggish():
+    convs = []
+    cin = 1
+    for v in [64, "M", 128, "M", 256, 256, "M", 512, 512, "M"]:
+        if v == "M":
+            convs.append(nn.MaxPool2d(2, 2))
+        else:
+            convs.append(nn.Conv2d(cin, v, 3, padding=1))
+            convs.append(nn.ReLU(inplace=True))
+            cin = v
+
+    class VGGishLike(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = nn.Sequential(*convs)
+            self.embeddings = nn.Sequential(
+                nn.Linear(512 * 4 * 6, 4096), nn.ReLU(True),
+                nn.Linear(4096, 4096), nn.ReLU(True), nn.Linear(4096, 128),
+            )
+
+        def forward(self, x):
+            x = self.features(x)
+            x = torch.transpose(x, 1, 3)
+            x = torch.transpose(x, 1, 2)
+            x = x.contiguous().view(x.size(0), -1)
+            return self.embeddings(x)
+
+    return VGGishLike()
+
+
+@pytest.mark.slow
+def test_vggish_pt2_roundtrip(tmp_path):
+    from frechet_audio_distance_exported_tpu.models.vggish import vggish_forward
+    from frechet_audio_distance_exported_tpu.utils.weights import unflatten_params, flatten_params
+
+    torch.manual_seed(0)
+    model = _build_torch_vggish().eval()
+    example = torch.randn(2, 1, 96, 64)
+    exported = torch.export.export(model, (example,))
+    path = str(tmp_path / "vggish_exported.pt2")
+    torch.export.save(exported, path)
+
+    params = unflatten_params(flatten_params(ew.extract_vggish(path)))
+    x = np.random.default_rng(0).standard_normal((2, 96, 64)).astype(np.float32)
+    ours = np.asarray(vggish_forward(params, x))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x[:, None])).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
+def test_pann_pth_roundtrip(tmp_path):
+    """Upstream-style {'model': state_dict} checkpoint with the reference's
+    module names (export_pann.py:166-195)."""
+    from frechet_audio_distance_exported_tpu.models.pann import pann_forward
+    from frechet_audio_distance_exported_tpu.utils.weights import unflatten_params, flatten_params
+
+    torch.manual_seed(1)
+    sd = {}
+    for name, dim in [("bn0", 64)]:
+        sd[f"{name}.weight"] = torch.randn(dim).abs() + 0.5
+        sd[f"{name}.bias"] = torch.randn(dim)
+        sd[f"{name}.running_mean"] = torch.randn(dim) * 0.1
+        sd[f"{name}.running_var"] = torch.randn(dim).abs() + 0.5
+    chans = [(1, 64), (64, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
+    for i, (cin, cout) in enumerate(chans, start=1):
+        sd[f"conv_block{i}.conv1.weight"] = torch.randn(cout, cin, 3, 3) * 0.05
+        sd[f"conv_block{i}.conv2.weight"] = torch.randn(cout, cout, 3, 3) * 0.02
+        for bn in ("bn1", "bn2"):
+            sd[f"conv_block{i}.{bn}.weight"] = torch.randn(cout).abs() + 0.5
+            sd[f"conv_block{i}.{bn}.bias"] = torch.randn(cout) * 0.1
+            sd[f"conv_block{i}.{bn}.running_mean"] = torch.randn(cout) * 0.1
+            sd[f"conv_block{i}.{bn}.running_var"] = torch.randn(cout).abs() + 0.5
+    sd["fc1.weight"] = torch.randn(2048, 2048) * 0.01
+    sd["fc1.bias"] = torch.randn(2048) * 0.1
+    path = str(tmp_path / "Cnn14_16k.pth")
+    torch.save({"model": sd}, path)
+
+    params = unflatten_params(flatten_params(ew.extract_pann(path)))
+    x = np.random.default_rng(1).standard_normal((1, 104, 64)).astype(np.float32)
+    out = np.asarray(pann_forward(params, x))
+    assert out.shape == (1, 2048)
+    # Spot-check the layout transposes.
+    np.testing.assert_allclose(
+        np.asarray(params["blocks"][0]["conv1"]["w"]),
+        sd["conv_block1.conv1.weight"].numpy().transpose(2, 3, 1, 0),
+    )
+    np.testing.assert_allclose(np.asarray(params["bn0"]["var"]), sd["bn0.running_var"].numpy())
+
+
+class _SConv1dLike(nn.Module):
+    """Reproduces encodec's SConv1d(NormConv1d(Conv1d)) state-dict layout."""
+
+    class _NormConv(nn.Module):
+        def __init__(self, cin, cout, k, stride, weight_norm, group_norm):
+            super().__init__()
+            conv = nn.Conv1d(cin, cout, k, stride=stride)
+            if weight_norm:
+                conv = nn.utils.weight_norm(conv)
+            self.conv = conv
+            self.norm = nn.GroupNorm(1, cout) if group_norm else nn.Identity()
+
+        def forward(self, x):
+            return self.norm(self.conv(x))
+
+    def __init__(self, cin, cout, k, stride=1, causal=True):
+        super().__init__()
+        self.kernel = k
+        self.stride = stride
+        self.causal = causal
+        self.conv = self._NormConv(cin, cout, k, stride, weight_norm=causal, group_norm=not causal)
+
+    def forward(self, x):
+        import math
+
+        L = x.shape[-1]
+        p = self.kernel - self.stride
+        n_frames = (L - self.kernel + p) / self.stride + 1
+        ideal = (math.ceil(n_frames) - 1) * self.stride + (self.kernel - p)
+        extra = ideal - L
+        if self.causal:
+            left, right = p, extra
+        else:
+            right = p // 2
+            left, right = p - right, right + extra
+        return self.conv(F.pad(x, (left, right), mode="reflect"))
+
+
+class _ResBlockLike(nn.Module):
+    def __init__(self, dim, causal):
+        super().__init__()
+        self.block = nn.Sequential(
+            nn.ELU(),
+            _SConv1dLike(dim, dim // 2, 3, causal=causal),
+            nn.ELU(),
+            _SConv1dLike(dim // 2, dim, 1, causal=causal),
+        )
+        self.shortcut = _SConv1dLike(dim, dim, 1, causal=causal)
+
+    def forward(self, x):
+        return self.shortcut(x) + self.block(x)
+
+
+class _SLSTMLike(nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.lstm = nn.LSTM(dim, dim, num_layers=2)
+
+    def forward(self, x):
+        x = x.permute(2, 0, 1)
+        y, _ = self.lstm(x)
+        return (y + x).permute(1, 2, 0)
+
+
+class _SEANetLike(nn.Module):
+    def __init__(self, channels, causal):
+        super().__init__()
+        layers = [_SConv1dLike(channels, 32, 7, causal=causal)]
+        mult = 1
+        for ratio in (2, 4, 5, 8):
+            dim = 32 * mult
+            layers += [
+                _ResBlockLike(dim, causal),
+                nn.ELU(),
+                _SConv1dLike(dim, 2 * dim, 2 * ratio, stride=ratio, causal=causal),
+            ]
+            mult *= 2
+        layers += [_SLSTMLike(512), nn.ELU(), _SConv1dLike(512, 128, 7, causal=causal)]
+        self.model = nn.Sequential(*layers)
+
+    def forward(self, x):
+        return self.model(x)
+
+
+@pytest.mark.parametrize("causal,channels", [(True, 1), (False, 2)])
+def test_encodec_pt_roundtrip(tmp_path, causal, channels):
+    from frechet_audio_distance_exported_tpu.models.encodec import encodec_forward
+    from frechet_audio_distance_exported_tpu.utils.weights import unflatten_params, flatten_params
+
+    torch.manual_seed(2)
+    model = _SEANetLike(channels, causal).eval()
+    example = torch.randn(1, channels, 3200) * 0.1
+    traced = torch.jit.trace(model, example)
+    path = str(tmp_path / "encodec_exported.pt")
+    traced.save(path)
+
+    params = unflatten_params(flatten_params(ew.extract_encodec(path)))
+    x = np.random.default_rng(2).standard_normal((1, channels, 3200)).astype(np.float32) * 0.1
+    ours = np.asarray(encodec_forward(params, x, causal=causal))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x)).numpy().transpose(0, 2, 1)
+    np.testing.assert_allclose(ours, theirs, rtol=1e-3, atol=1e-4)
+
+
+def test_clap_mapping_shapes():
+    """Synthetic laion_clap-style state dict -> correctly-shaped CLAP pytree
+    that the JAX forward accepts."""
+    from frechet_audio_distance_exported_tpu.models.clap import clap_forward
+
+    class FakeModule:
+        pass
+
+    depths = (2, 2, 6, 2)
+    dims = (96, 192, 384, 768)
+    heads = (4, 8, 16, 32)
+    g = torch.Generator().manual_seed(3)
+
+    def r(*shape):
+        return torch.randn(*shape, generator=g) * 0.02
+
+    sd = {
+        "audio_branch.bn0.weight": r(64).abs() + 0.5,
+        "audio_branch.bn0.bias": r(64),
+        "audio_branch.bn0.running_mean": r(64),
+        "audio_branch.bn0.running_var": r(64).abs() + 0.5,
+        "audio_branch.patch_embed.proj.weight": r(96, 1, 4, 4),
+        "audio_branch.patch_embed.proj.bias": r(96),
+        "audio_branch.patch_embed.norm.weight": r(96) + 1.0,
+        "audio_branch.patch_embed.norm.bias": r(96),
+        "audio_branch.norm.weight": r(768) + 1.0,
+        "audio_branch.norm.bias": r(768),
+        "audio_projection.0.weight": r(512, 768),
+        "audio_projection.0.bias": r(512),
+        "audio_projection.2.weight": r(512, 512),
+        "audio_projection.2.bias": r(512),
+    }
+    for i, depth in enumerate(depths):
+        c, h = dims[i], heads[i]
+        for j in range(depth):
+            b = f"audio_branch.layers.{i}.blocks.{j}"
+            sd[f"{b}.norm1.weight"] = r(c) + 1.0
+            sd[f"{b}.norm1.bias"] = r(c)
+            sd[f"{b}.attn.qkv.weight"] = r(3 * c, c)
+            sd[f"{b}.attn.qkv.bias"] = r(3 * c)
+            sd[f"{b}.attn.relative_position_bias_table"] = r(225, h)
+            sd[f"{b}.attn.proj.weight"] = r(c, c)
+            sd[f"{b}.attn.proj.bias"] = r(c)
+            sd[f"{b}.norm2.weight"] = r(c) + 1.0
+            sd[f"{b}.norm2.bias"] = r(c)
+            sd[f"{b}.mlp.fc1.weight"] = r(4 * c, c)
+            sd[f"{b}.mlp.fc1.bias"] = r(4 * c)
+            sd[f"{b}.mlp.fc2.weight"] = r(c, 4 * c)
+            sd[f"{b}.mlp.fc2.bias"] = r(c)
+        if i < 3:
+            d = f"audio_branch.layers.{i}.downsample"
+            sd[f"{d}.norm.weight"] = r(4 * c) + 1.0
+            sd[f"{d}.norm.bias"] = r(4 * c)
+            sd[f"{d}.reduction.weight"] = r(2 * c, 4 * c)
+
+    # Monkeypatch _load_state_dict to feed the synthetic dict.
+    orig = ew._load_state_dict
+    ew._load_state_dict = lambda path: (sd, None)
+    try:
+        params = ew.extract_clap("fake.pt2")
+    finally:
+        ew._load_state_dict = orig
+
+    assert np.asarray(params["projection"]["fc1"]["w"]).shape == (768, 512)
+    assert np.asarray(params["patch_embed"]["conv"]["w"]).shape == (4, 4, 1, 96)
+    x = np.random.default_rng(0).standard_normal((1, 1001, 64)).astype(np.float32)
+    out = np.asarray(clap_forward(params, x))
+    assert out.shape == (1, 512)
+    np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
