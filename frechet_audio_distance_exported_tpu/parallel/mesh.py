@@ -29,3 +29,21 @@ def data_mesh(devices: Optional[Sequence] = None) -> Mesh:
 def pad_to_shards(n: int, num_shards: int) -> int:
     """Smallest multiple of num_shards >= n (batch padding for even sharding)."""
     return ((n + num_shards - 1) // num_shards) * num_shards
+
+
+def initialize_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host (pod) initialization over DCN via jax.distributed.
+
+    Call once per host before data_mesh(); afterwards jax.devices() spans the
+    pod and the same shard_map/psum programs scale across hosts. Arguments
+    default to the standard JAX_COORDINATOR_ADDRESS / cloud-TPU autodetection.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -130,6 +130,13 @@ def _convert_dtype(samples: np.ndarray, dtype: str) -> np.ndarray:
     kind = samples.dtype
     if dtype in ("float32", "float64"):
         target = np.float32 if dtype == "float32" else np.float64
+        if kind in (np.int16, np.int32) and dtype == "float32":
+            from .. import native  # OpenMP PCM conversion when available
+
+            channels = samples.shape[1] if samples.ndim == 2 else 1
+            out = native.pcm_to_f32(samples, channels, mixdown=False)
+            if out is not None:
+                return out.reshape(samples.shape)
         if kind == np.int16:
             return (samples.astype(target)) / 32768.0
         if kind == np.int32:
