@@ -175,6 +175,71 @@ def frame_signal(x: jnp.ndarray, num_frames: int, window_length: int, hop_length
     return x[..., idx]
 
 
+@functools.lru_cache(maxsize=16)
+def chunked_dft_matrices(window_length: int, fft_length: int, hop_length: int):
+    """The windowed DFT matrix split into hop-sized row chunks, zero-padded.
+
+    Enables the gather-free STFT: with X = wave reshaped to hop-sized rows,
+      re[t] = sum_m X[t + m] @ C_m,
+    i.e. framing becomes shifted views of a non-overlapping reshape and the
+    whole STFT is M = ceil(W/hop) dense [T, hop] x [hop, F] matmuls — no
+    [T, W] frame materialization, no gather. (The overlap-as-matmul-sum trick
+    keeps every FLOP on the MXU.)
+    """
+    cos_m, sin_m = windowed_dft_matrices(window_length, fft_length)
+    num_chunks = -(-window_length // hop_length)
+    padded = num_chunks * hop_length
+    f = fft_length // 2 + 1
+    cos_p = np.zeros((padded, f), np.float32)
+    sin_p = np.zeros((padded, f), np.float32)
+    cos_p[:window_length] = cos_m
+    sin_p[:window_length] = sin_m
+    return (
+        cos_p.reshape(num_chunks, hop_length, f),
+        sin_p.reshape(num_chunks, hop_length, f),
+    )
+
+
+def stft_spectrum_strided(
+    wave: jnp.ndarray,
+    num_frames: int,
+    window_length: int,
+    fft_length: int,
+    hop_length: int,
+):
+    """[B, S] -> (re, im) each [B, num_frames, F] without materializing frames.
+
+    Requires S >= (num_frames + ceil(W/hop) - 1) * hop (callers bucket-pad
+    anyway); excess samples are ignored.
+    """
+    cos_c, sin_c = chunked_dft_matrices(window_length, fft_length, hop_length)
+    num_chunks = cos_c.shape[0]
+    need = (num_frames + num_chunks - 1) * hop_length
+    if wave.shape[-1] < need:
+        wave = jnp.pad(wave, ((0, 0), (0, need - wave.shape[-1])))
+    x = wave[:, :need].reshape(wave.shape[0], num_frames + num_chunks - 1, hop_length)
+    re = None
+    im = None
+    for m in range(num_chunks):
+        xm = x[:, m : m + num_frames]
+        re_m = jnp.matmul(xm, jnp.asarray(cos_c[m]), preferred_element_type=jnp.float32,
+                          precision=matmul_precision())
+        im_m = jnp.matmul(xm, jnp.asarray(sin_c[m]), preferred_element_type=jnp.float32,
+                          precision=matmul_precision())
+        re = re_m if re is None else re + re_m
+        im = im_m if im is None else im + im_m
+    return re, im
+
+
+def stft_power_strided(wave, num_frames, window_length, fft_length, hop_length):
+    re, im = stft_spectrum_strided(wave, num_frames, window_length, fft_length, hop_length)
+    return re * re + im * im
+
+
+def stft_magnitude_strided(wave, num_frames, window_length, fft_length, hop_length):
+    return jnp.sqrt(stft_power_strided(wave, num_frames, window_length, fft_length, hop_length))
+
+
 def stft_power(frames: jnp.ndarray, window_length: int, fft_length: int) -> jnp.ndarray:
     """|rfft(frames * hann)|^2 via matmul-DFT. frames: [..., T, W] -> [..., T, F]."""
     cos_m, sin_m = windowed_dft_matrices(window_length, fft_length)

@@ -126,8 +126,7 @@ def vggish_logmel_batch(wave: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     two MXU matmuls. Frames are the uncentered 400/160 grid; rows beyond a
     file's true frame count are defined but must be masked by the caller.
     """
-    frames = dsp.frame_signal(wave, num_frames, VGGISH_WINDOW, VGGISH_HOP)
-    mag = dsp.stft_magnitude(frames, VGGISH_WINDOW, VGGISH_FFT)
+    mag = dsp.stft_magnitude_strided(wave, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP)
     mel_mat = jnp.asarray(
         dsp.htk_mel_matrix(
             VGGISH_MEL_BINS, VGGISH_FFT // 2 + 1, VGGISH_SAMPLE_RATE,
@@ -179,8 +178,7 @@ def pann_logmel_batch(
     """
     cfg = PANN_CONFIGS[target_sample_rate]
     n_fft, hop = cfg["window_size"], cfg["hop_size"]
-    frames = dsp.frame_signal(padded_wave, num_frames, n_fft, hop)
-    power = dsp.stft_power(frames, n_fft, n_fft)
+    power = dsp.stft_power_strided(padded_wave, num_frames, n_fft, n_fft, hop)
     mel_mat = jnp.asarray(
         dsp.slaney_mel_matrix(target_sample_rate, n_fft, cfg["mel_bins"], cfg["fmin"], cfg["fmax"])
     )

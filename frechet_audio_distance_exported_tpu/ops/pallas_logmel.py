@@ -1,0 +1,133 @@
+"""Fused log-mel frontend as a Pallas TPU kernel.
+
+One kernel instance produces a [T_TILE, 64] log-mel tile directly from the
+raw waveform: manual-DMA of the overlapping hop-row window into VMEM, the
+gather-free chunked-DFT matmul sum (see dsp.chunked_dft_matrices), power or
+magnitude, the mel matmul, and the log — with no HBM round-trips for frames,
+spectra, or mel. This is the hot op of the embedding pipeline (reference
+computes it per file on host NumPy/librosa, models/vggish.py:125-227 and
+models/pann.py:107-136).
+
+The XLA strided formulation (dsp.stft_*_strided) is the portable fallback and
+the numerical reference for the kernel's tests (interpret mode on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import dsp
+
+T_TILE = 256  # frames per kernel instance
+
+
+def _fused_kernel(
+    x_hbm,  # [U, hop] hop-rows of one batch element, ANY/HBM
+    cos_ref,  # [M, hop, F] VMEM
+    sin_ref,  # [M, hop, F] VMEM
+    mel_ref,  # [F, MELS] VMEM
+    out_ref,  # [T_TILE, MELS] VMEM
+    x_vmem,  # scratch [T_TILE + M - 1, hop]
+    dma_sem,
+    *,
+    num_chunks: int,
+    power: bool,
+    log_offset: float,
+    amin: float,
+):
+    t = pl.program_id(1)
+    rows = T_TILE + num_chunks - 1
+    copy = pltpu.make_async_copy(
+        x_hbm.at[0, pl.ds(t * T_TILE, rows), :], x_vmem, dma_sem
+    )
+    copy.start()
+    copy.wait()
+
+    re = jnp.zeros((T_TILE, cos_ref.shape[-1]), jnp.float32)
+    im = jnp.zeros((T_TILE, cos_ref.shape[-1]), jnp.float32)
+    for m in range(num_chunks):
+        xm = x_vmem[m : m + T_TILE, :]
+        re = re + jnp.dot(xm, cos_ref[m], preferred_element_type=jnp.float32)
+        im = im + jnp.dot(xm, sin_ref[m], preferred_element_type=jnp.float32)
+    spec = re * re + im * im
+    if not power:
+        spec = jnp.sqrt(spec)
+    mel = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32)
+    if power:
+        out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, amin))
+    else:
+        out_ref[0] = jnp.log(mel + log_offset)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_frames", "window_length", "fft_length", "hop_length",
+        "power", "log_offset", "amin", "interpret",
+    ),
+)
+def fused_logmel(
+    wave: jnp.ndarray,
+    mel_matrix: jnp.ndarray,
+    num_frames: int,
+    window_length: int,
+    fft_length: int,
+    hop_length: int,
+    power: bool = True,
+    log_offset: float = 0.01,
+    amin: float = 1e-10,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """[B, S] waveform -> [B, num_frames, MELS] log-mel, fully fused on TPU.
+
+    power=True: 10*log10(max(mel(|X|^2), amin))   (PANN/CLAP semantics)
+    power=False: log(mel(|X|) + log_offset)        (VGGish semantics)
+    """
+    cos_c, sin_c = dsp.chunked_dft_matrices(window_length, fft_length, hop_length)
+    num_chunks = cos_c.shape[0]
+    mels = mel_matrix.shape[-1]
+    num_tiles = -(-num_frames // T_TILE)
+    rows_needed = (num_tiles * T_TILE + num_chunks - 1) * hop_length
+
+    b = wave.shape[0]
+    if wave.shape[-1] < rows_needed:
+        wave = jnp.pad(wave, ((0, 0), (0, rows_needed - wave.shape[-1])))
+    x = wave[:, :rows_needed].reshape(b, -1, hop_length)
+
+    kernel = functools.partial(
+        _fused_kernel,
+        num_chunks=num_chunks,
+        power=power,
+        log_offset=log_offset,
+        amin=amin,
+    )
+    f = fft_length // 2 + 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, num_tiles),
+        in_specs=[
+            pl.BlockSpec((1, x.shape[1], hop_length), lambda bi, ti: (bi, 0, 0),
+                         memory_space=pltpu.ANY),
+            pl.BlockSpec((num_chunks, hop_length, f), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_chunks, hop_length, f), lambda bi, ti: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((f, mels), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, T_TILE, mels), lambda bi, ti: (bi, ti, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, num_tiles * T_TILE, mels), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((T_TILE + num_chunks - 1, hop_length), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )(x, jnp.asarray(cos_c), jnp.asarray(sin_c), jnp.asarray(mel_matrix, jnp.float32))
+    return out[:, :num_frames]
