@@ -177,14 +177,22 @@ class FrechetAudioDistance:
         background_embds_path: Optional[str] = None,
         eval_embds_path: Optional[str] = None,
         dtype: str = "float32",
+        device_stats: bool = False,
     ) -> float:
         """FAD between two directories of audio files.
 
         Returns the score, or -1 on any error (reference sentinel,
         reference: fad.py:593-662). Embedding .npy caching semantics match
         the reference (fad.py:616-637).
+
+        device_stats=True (extension) streams (N, Σx, Σxxᵀ) on device and
+        runs the Fréchet epilogue there — embeddings never reach the host.
+        Float32 end-to-end (the default path finishes in host float64);
+        incompatible with the .npy embedding caches.
         """
         try:
+            if device_stats and not background_embds_path and not eval_embds_path:
+                return self._score_device_stats(background_dir, eval_dir, dtype)
             if background_embds_path and os.path.exists(background_embds_path):
                 if self.verbose:
                     print(f"[FAD-TPU] Loading embeddings from {background_embds_path}...")
@@ -223,3 +231,19 @@ class FrechetAudioDistance:
         except Exception as e:
             print(f"[FAD-TPU] An error occurred: {e}")
             return -1
+
+    def _score_device_stats(self, background_dir: str, eval_dir: str, dtype: str) -> float:
+        """Fully on-device scoring: streamed statistics + eigh Fréchet epilogue."""
+        audio_background = self._load_audio_files(background_dir, dtype=dtype)
+        audio_eval = self._load_audio_files(eval_dir, dtype=dtype)
+        st_bg = self.pipeline.accumulate_stats(audio_background, self.sample_rate)
+        st_ev = self.pipeline.accumulate_stats(audio_eval, self.sample_rate)
+        if st_bg is None:
+            print("[FAD-TPU] Background set dir is empty, exiting...")
+            return -1
+        if st_ev is None:
+            print("[FAD-TPU] Eval set dir is empty, exiting...")
+            return -1
+        mu1, sigma1 = stats_ops.finalize_stats(st_bg)
+        mu2, sigma2 = stats_ops.finalize_stats(st_ev)
+        return float(stats_ops.frechet_distance_jax(mu1, sigma1, mu2, sigma2))

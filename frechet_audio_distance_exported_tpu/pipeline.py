@@ -97,23 +97,28 @@ class EmbeddingPipeline:
     # ------------------------------------------------------------------
 
     def embed_files(
-        self, audio_list: List[np.ndarray], sr: int, strict: bool = False
+        self, audio_list: List[np.ndarray], sr: int, strict: bool = False, sink=None
     ) -> List[Optional[np.ndarray]]:
         """Per-file embedding matrices, in input order.
 
         strict=False mirrors the reference's per-file error swallowing
         (reference: fad.py:400-403): a file whose preprocessing fails yields
         None instead of raising.
+
+        sink: optional fn(rows_device [N, d], mask_device [N] | None) — when
+        given, embedding rows are delivered on device (order unspecified) and
+        never copied to host; the return value holds per-file row counts
+        instead of arrays.
         """
         family = self.cfg.family
         if family == "vggish":
-            return self._embed_vggish(audio_list, sr, strict)
+            return self._embed_vggish(audio_list, sr, strict, sink)
         if family == "pann":
-            return self._embed_pann(audio_list, sr, strict)
+            return self._embed_pann(audio_list, sr, strict, sink)
         if family == "clap":
-            return self._embed_clap(audio_list, sr, strict)
+            return self._embed_clap(audio_list, sr, strict, sink)
         if family == "encodec":
-            return self._embed_encodec(audio_list, sr, strict)
+            return self._embed_encodec(audio_list, sr, strict, sink)
         raise ValueError(f"Unknown family: {family}")
 
     def embed_single(self, audio: np.ndarray, sr: int) -> np.ndarray:
@@ -121,13 +126,37 @@ class EmbeddingPipeline:
         out = self.embed_files([audio], sr, strict=True)[0]
         return out
 
+    def accumulate_stats(self, audio_list: List[np.ndarray], sr: int):
+        """Single-pass on-device (N, Σx, Σxxᵀ) over all embedding rows —
+        embeddings never leave the device.
+
+        Uses the shift-stabilized streaming accumulator (ops.stats); the
+        shift is the masked mean of the first delivered row batch. Returns a
+        StreamingStats (None if every file failed).
+        """
+        from .ops import stats as stats_ops
+
+        box = {"state": None}
+
+        def sink(rows, mask):
+            if mask is None:
+                mask = jnp.ones((rows.shape[0],), jnp.float32)
+            if box["state"] is None:
+                shift = jnp.sum(rows * mask[:, None], axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
+                box["state"] = stats_ops.init_stats(rows.shape[1], shift=shift)
+            box["state"] = stats_ops.update_stats(box["state"], rows, mask)
+
+        self.embed_files(audio_list, sr, strict=False, sink=sink)
+        return box["state"]
+
     # ------------------------------------------------------------------
     # Shared chunked model application
     # ------------------------------------------------------------------
 
-    def _run_model_chunked(self, rows: jnp.ndarray) -> np.ndarray:
+    def _run_model_chunked(self, rows: jnp.ndarray, sink=None):
         """Apply the embedding network over [N, ...] rows in fixed-size chunks
-        (one XLA program per chunk size, sizes drawn from pow2 buckets)."""
+        (one XLA program per chunk size, sizes drawn from pow2 buckets).
+        With a sink, rows stay on device and None is returned."""
         n = rows.shape[0]
         outs = []
         start = 0
@@ -139,15 +168,20 @@ class EmbeddingPipeline:
                 pad_widths = [(0, padded - take)] + [(0, 0)] * (rows.ndim - 1)
                 chunk = jnp.pad(chunk, pad_widths)
             out = self._forward(self.params, chunk)
-            outs.append(out[:take])
+            if sink is not None:
+                sink(out[:take], None)
+            else:
+                outs.append(out[:take])
             start += take
+        if sink is not None:
+            return None
         return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
     # ------------------------------------------------------------------
     # VGGish
     # ------------------------------------------------------------------
 
-    def _embed_vggish(self, audio_list, sr, strict):
+    def _embed_vggish(self, audio_list, sr, strict, sink=None):
         prepped: List[Optional[np.ndarray]] = []
         for audio in audio_list:
             try:
@@ -192,10 +226,10 @@ class EmbeddingPipeline:
                     sel_rows.extend([row] * count)
                     sel_patch.extend(range(count))
                 valid = patches[jnp.asarray(sel_rows), jnp.asarray(sel_patch)]
-                emb = self._run_model_chunked(valid)
+                emb = self._run_model_chunked(valid, sink=sink)
                 off = 0
                 for i, count in zip(chunk_idx, p_counts):
-                    per_file[i] = emb[off : off + count]
+                    per_file[i] = count if sink is not None else emb[off : off + count]
                     off += count
         return per_file
 
@@ -203,7 +237,7 @@ class EmbeddingPipeline:
     # PANN
     # ------------------------------------------------------------------
 
-    def _embed_pann(self, audio_list, sr, strict):
+    def _embed_pann(self, audio_list, sr, strict, sink=None):
         target_sr = self.cfg.sample_rate
         cfg = fe.PANN_CONFIGS[target_sr]
         n_fft, hop = cfg["window_size"], cfg["hop_size"]
@@ -252,16 +286,22 @@ class EmbeddingPipeline:
                 log_mel = fe.pann_logmel_batch(
                     jnp.asarray(wave), target_sr, t_grid, jnp.asarray(n_valid)
                 )
-                emb = np.asarray(self._forward(self.params, log_mel))
-                for row, i in enumerate(chunk_idx):
-                    per_file[i] = emb[row : row + 1]
+                emb_dev = self._forward(self.params, log_mel)
+                if sink is not None:
+                    sink(emb_dev[: len(chunk_idx)], None)
+                    for i in chunk_idx:
+                        per_file[i] = 1
+                else:
+                    emb = np.asarray(emb_dev)
+                    for row, i in enumerate(chunk_idx):
+                        per_file[i] = emb[row : row + 1]
         return per_file
 
     # ------------------------------------------------------------------
     # CLAP
     # ------------------------------------------------------------------
 
-    def _embed_clap(self, audio_list, sr, strict):
+    def _embed_clap(self, audio_list, sr, strict, sink=None):
         n_fft = fe.PANN_CONFIGS[fe.CLAP_SAMPLE_RATE]["window_size"]
         prepped: List[Optional[np.ndarray]] = []
         for audio in audio_list:
@@ -301,16 +341,22 @@ class EmbeddingPipeline:
                 log_mel = fe.pann_logmel_batch(
                     jnp.asarray(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES
                 )
-                emb = np.asarray(self._forward(self.params, log_mel))
-                for row, i in enumerate(chunk_idx):
-                    per_file[i] = emb[row : row + 1]
+                emb_dev = self._forward(self.params, log_mel)
+                if sink is not None:
+                    sink(emb_dev[: len(chunk_idx)], None)
+                    for i in chunk_idx:
+                        per_file[i] = 1
+                else:
+                    emb = np.asarray(emb_dev)
+                    for row, i in enumerate(chunk_idx):
+                        per_file[i] = emb[row : row + 1]
         return per_file
 
     # ------------------------------------------------------------------
     # Encodec
     # ------------------------------------------------------------------
 
-    def _embed_encodec(self, audio_list, sr, strict):
+    def _embed_encodec(self, audio_list, sr, strict, sink=None):
         target_sr = self.cfg.sample_rate
         config = fe.ENCODEC_CONFIGS[target_sr]
         channels, hop = config["channels"], config["hop_length"]
@@ -350,10 +396,19 @@ class EmbeddingPipeline:
             wave = np.zeros((b, channels, max_samples), dtype=np.float32)
             for row, i in enumerate(chunk_idx):
                 wave[row] = prepped[i][0]
-            emb = np.asarray(self._forward(self.params, jnp.asarray(wave)))  # [B, T, 128]
-            for row, i in enumerate(chunk_idx):
-                frames = prepped[i][1]
-                per_file[i] = emb[row, :frames]
+            emb_dev = self._forward(self.params, jnp.asarray(wave))  # [B, T, 128]
+            if sink is not None:
+                t = emb_dev.shape[1]
+                frames = np.zeros((b,), np.int32)
+                for row, i in enumerate(chunk_idx):
+                    frames[row] = prepped[i][1]
+                    per_file[i] = prepped[i][1]
+                mask = (np.arange(t)[None, :] < frames[:, None]).astype(np.float32)
+                sink(emb_dev.reshape(b * t, -1), jnp.asarray(mask.reshape(-1)))
+            else:
+                emb = np.asarray(emb_dev)
+                for row, i in enumerate(chunk_idx):
+                    per_file[i] = emb[row, : prepped[i][1]]
         return per_file
 
     def _log_skip(self, e: Exception) -> None:

@@ -1,0 +1,234 @@
+#!/usr/bin/env python
+"""Parity harness: compare this TPU framework against the reference package.
+
+The equivalence tier of the reference (scripts/verify_export.py,
+verify_pann.py, verify_encodec.py, verify_clap.py) reimagined for this
+framework. Four checks per model, each skipping gracefully when its
+prerequisites (reference package deps, torch artifacts, converted weight
+bundles) are absent:
+
+  preprocessing  frontend parity vs the reference's own frontend code
+                 (tolerances: VGGish <1e-3 abs on log-mel, PANN <0.5 dB —
+                 the reference's own bars, verify_export.py:74 /
+                 verify_pann.py:147)
+  embeddings     our model w/ extracted weights vs the torch artifact
+                 (<1e-3 max abs / cosine>0.99, cf. verify_pann.py:223,
+                 verify_clap.py:243)
+  fad            end-to-end score diff vs the reference package on synthetic
+                 sine dirs (<0.01, cf. verify_export.py:200)
+  sanity         self-contained: FAD finite & positive for different dirs,
+                 |FAD| <= 1e-3 for identical dirs (cf. verify_encodec.py:313)
+
+Usage:
+  python scripts/verify_parity.py --model vggish [--ckpt-dir DIR] [--weights random]
+  python scripts/verify_parity.py --all
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import tempfile
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+REFERENCE_ROOT = os.environ.get("FAD_REFERENCE_ROOT", "/root/reference")
+
+
+def _sine(duration, freq, sr):
+    t = np.linspace(0, duration, int(sr * duration), dtype=np.float32)
+    return (np.sin(2 * np.pi * freq * t) * 0.5).astype(np.float32)
+
+
+def _result(name, status, detail=""):
+    print(f"  [{status:^4}] {name}" + (f" — {detail}" if detail else ""))
+    return status != "FAIL"
+
+
+# ---------------------------------------------------------------------------
+# Checks
+# ---------------------------------------------------------------------------
+
+
+def check_preprocessing(model_name: str) -> bool:
+    from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+    if model_name == "vggish":
+        # Import the reference frontend module directly (resampy stubbed; the
+        # sr==16000 path never calls it).
+        if "resampy" not in sys.modules:
+            stub = types.ModuleType("resampy")
+            stub.resample = lambda *a, **k: (_ for _ in ()).throw(RuntimeError("stub"))
+            sys.modules["resampy"] = stub
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "ref_vggish", os.path.join(
+                    REFERENCE_ROOT, "frechet_audio_distance_exported/models/vggish.py")
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+        except Exception as e:
+            return _result("preprocessing", "SKIP", f"reference unavailable: {e}")
+        audio = _sine(3.0, 440.0, 16000)
+        ref = np.asarray(mod.waveform_to_examples(audio, 16000, return_tensor=False))
+        ours = fe.waveform_to_examples(audio, 16000, return_tensor=False)
+        diff = float(np.max(np.abs(ours - ref)))
+        ok = diff < 1e-3 and ours.shape == ref.shape
+        return _result("preprocessing", "PASS" if ok else "FAIL", f"max diff {diff:.2e}")
+
+    if model_name.startswith("pann") or model_name == "clap":
+        try:
+            import librosa  # noqa: F401
+        except ImportError:
+            return _result("preprocessing", "SKIP", "librosa not installed here")
+        # With librosa present, compare against the reference pann frontend.
+        sys.path.insert(0, REFERENCE_ROOT)
+        from frechet_audio_distance_exported.models.pann import waveform_to_logmel as ref_mel
+
+        sr = {"pann-8k": 8000, "pann-16k": 16000, "pann-32k": 32000, "clap": 48000}[model_name]
+        audio = _sine(2.0, 440.0, sr)
+        ref = np.asarray(ref_mel(audio, sr, target_sample_rate=sr, return_tensor=False))
+        from frechet_audio_distance_exported_tpu.ops.frontends import waveform_to_logmel
+
+        ours = waveform_to_logmel(audio, sr, target_sample_rate=sr, return_tensor=False)
+        diff = float(np.max(np.abs(ours - ref)))
+        ok = diff < 0.5  # dB, the reference's own bar
+        return _result("preprocessing", "PASS" if ok else "FAIL", f"max diff {diff:.2f} dB")
+
+    return _result("preprocessing", "SKIP", "encodec has no spectral frontend")
+
+
+def check_embeddings(model_name: str, ckpt_dir: str) -> bool:
+    """Our JAX model with extracted weights vs the torch artifact itself."""
+    from frechet_audio_distance_exported_tpu import registry
+
+    cfg = registry.get_model_config(model_name)
+    artifact = os.path.join(ckpt_dir, cfg.reference_artifact)
+    if not os.path.exists(artifact):
+        return _result("embeddings", "SKIP", f"artifact missing: {artifact}")
+    try:
+        import torch
+    except ImportError:
+        return _result("embeddings", "SKIP", "torch not installed")
+
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+    from tools import extract_weights as ew
+
+    fad = FrechetAudioDistance(ckpt_dir=ckpt_dir, model_name=model_name)
+    audio = _sine(2.0, 440.0, cfg.sample_rate)
+    ours = fad._get_embedding_for_audio(audio)
+
+    # Reference path: preprocess with our (parity-tested) frontend helpers and
+    # run the artifact.
+    sd, module = ew._load_state_dict(artifact)
+    from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+    with torch.no_grad():
+        if cfg.family == "vggish":
+            x = np.asarray(fe.waveform_to_examples(audio, cfg.sample_rate))
+            theirs = module(torch.from_numpy(x)).numpy()
+        elif cfg.family == "pann":
+            x = np.asarray(fe.waveform_to_logmel(audio, cfg.sample_rate, cfg.sample_rate))
+            t = x.shape[2]
+            pad = fe.pann_valid_time(t) - t
+            xt = torch.nn.functional.pad(torch.from_numpy(x), (0, 0, 0, pad))
+            theirs = module(xt).numpy()
+        elif cfg.family == "encodec":
+            pre = fe.preprocess_for_encodec(
+                audio, cfg.sample_rate, cfg.sample_rate, cfg.channels, return_tensor=False)
+            fixed = np.zeros((1, cfg.channels, fe.ENCODEC_CONFIGS[cfg.sample_rate]["max_samples"]),
+                             np.float32)
+            fixed[0, :, : pre.shape[-1]] = pre
+            out = module(torch.from_numpy(fixed)).numpy()
+            theirs = out[0, :, : len(audio) // 320].T
+        else:  # clap
+            padded = np.pad(audio, (0, fe.CLAP_MAX_SAMPLES - len(audio)))
+            x = np.asarray(fe.preprocess_for_clap(padded, cfg.sample_rate))
+            theirs = module(torch.from_numpy(x)).numpy()
+
+    diff = float(np.max(np.abs(ours - theirs)))
+    cos = float(np.sum(ours * theirs) / (np.linalg.norm(ours) * np.linalg.norm(theirs)))
+    ok = diff < 1e-3 or cos > 0.99
+    return _result("embeddings", "PASS" if ok else "FAIL", f"max diff {diff:.2e}, cos {cos:.5f}")
+
+
+def check_fad_vs_reference(model_name: str, ckpt_dir: str) -> bool:
+    try:
+        sys.path.insert(0, REFERENCE_ROOT)
+        from frechet_audio_distance_exported import FrechetAudioDistance as RefFAD
+    except Exception as e:
+        return _result("fad", "SKIP", f"reference package not runnable: {e}")
+
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance, registry
+
+    cfg = registry.get_model_config(model_name)
+    if not os.path.exists(os.path.join(ckpt_dir, cfg.reference_artifact)):
+        return _result("fad", "SKIP", "artifact missing")
+
+    from frechet_audio_distance_exported_tpu.utils.audio_io import write_wav
+
+    sr = cfg.sample_rate
+    with tempfile.TemporaryDirectory() as bg, tempfile.TemporaryDirectory() as ev:
+        for i in range(5):
+            write_wav(os.path.join(bg, f"{i}.wav"), _sine(2.0, 440 + 5 * i, sr), sr)
+            write_wav(os.path.join(ev, f"{i}.wav"), _sine(2.0, 880 + 5 * i, sr), sr)
+        ref_score = RefFAD(ckpt_dir=ckpt_dir, model_name=model_name).score(bg, ev)
+        our_score = FrechetAudioDistance(ckpt_dir=ckpt_dir, model_name=model_name).score(bg, ev)
+    diff = abs(ref_score - our_score)
+    ok = diff < 0.01
+    return _result("fad", "PASS" if ok else "FAIL",
+                   f"ref {ref_score:.6f} vs ours {our_score:.6f} (diff {diff:.2e})")
+
+
+def check_sanity(model_name: str, ckpt_dir: str, weights: str) -> bool:
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance, registry
+    from frechet_audio_distance_exported_tpu.utils.audio_io import write_wav
+
+    cfg = registry.get_model_config(model_name)
+    sr = cfg.sample_rate
+    try:
+        fad = FrechetAudioDistance(ckpt_dir=ckpt_dir, model_name=model_name, weights=weights)
+    except FileNotFoundError:
+        fad = FrechetAudioDistance(model_name=model_name, weights="random")
+    with tempfile.TemporaryDirectory() as bg, tempfile.TemporaryDirectory() as ev:
+        for i in range(3):
+            write_wav(os.path.join(bg, f"{i}.wav"), _sine(1.5, 440 + 5 * i, sr), sr)
+            write_wav(os.path.join(ev, f"{i}.wav"), _sine(1.5, 880 + 5 * i, sr), sr)
+        diff_score = fad.score(bg, ev)
+        same_score = fad.score(bg, bg)
+    ok = np.isfinite(diff_score) and diff_score > 0 and abs(same_score) <= 1e-3
+    return _result("sanity", "PASS" if ok else "FAIL",
+                   f"different {diff_score:.3e}, identical {same_score:.1e}")
+
+
+def main():
+    from frechet_audio_distance_exported_tpu import registry
+
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", choices=sorted(registry.VALID_MODELS))
+    ap.add_argument("--all", action="store_true")
+    ap.add_argument("--ckpt-dir", default=registry.default_ckpt_dir())
+    ap.add_argument("--weights", default="auto", choices=["auto", "random"])
+    args = ap.parse_args()
+    if not args.all and not args.model:
+        ap.error("--model or --all required")
+
+    names = sorted(registry.VALID_MODELS) if args.all else [args.model]
+    all_ok = True
+    for name in names:
+        print(f"== {name} ==")
+        all_ok &= check_preprocessing(name)
+        all_ok &= check_embeddings(name, args.ckpt_dir)
+        all_ok &= check_fad_vs_reference(name, args.ckpt_dir)
+        all_ok &= check_sanity(name, args.ckpt_dir, args.weights)
+    sys.exit(0 if all_ok else 1)
+
+
+if __name__ == "__main__":
+    main()
