@@ -20,6 +20,7 @@ shapes. Per-file frame counts enter as *masks*, never as dynamic shapes.
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -29,6 +30,15 @@ import numpy as np
 from . import dsp
 from .resample import resample
 from ..config import matmul_precision
+
+
+def _use_pallas_frontend() -> bool:
+    """Route log-mel through the fused Pallas kernel (ops/pallas_logmel.py).
+
+    Off by default; enable with FAD_TPU_PALLAS_FRONTEND=1. On CPU the kernel
+    runs in interpret mode (tests); on TPU it runs compiled.
+    """
+    return os.environ.get("FAD_TPU_PALLAS_FRONTEND", "0").lower() in ("1", "true", "on")
 
 # ---------------------------------------------------------------------------
 # VGGish frontend constants (reference: models/vggish.py:17-33)
@@ -126,13 +136,21 @@ def vggish_logmel_batch(wave: jnp.ndarray, num_frames: int) -> jnp.ndarray:
     two MXU matmuls. Frames are the uncentered 400/160 grid; rows beyond a
     file's true frame count are defined but must be masked by the caller.
     """
-    mag = dsp.stft_magnitude_strided(wave, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP)
     mel_mat = jnp.asarray(
         dsp.htk_mel_matrix(
             VGGISH_MEL_BINS, VGGISH_FFT // 2 + 1, VGGISH_SAMPLE_RATE,
             VGGISH_MEL_MIN_HZ, VGGISH_MEL_MAX_HZ,
         )
     )
+    if _use_pallas_frontend():
+        from .pallas_logmel import fused_logmel
+
+        return fused_logmel(
+            wave, mel_mat, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP,
+            power=False, log_offset=VGGISH_LOG_OFFSET,
+            interpret=jax.default_backend() == "cpu",
+        )
+    mag = dsp.stft_magnitude_strided(wave, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP)
     mel = jnp.matmul(mag, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
     return jnp.log(mel + VGGISH_LOG_OFFSET)
 
@@ -178,12 +196,20 @@ def pann_logmel_batch(
     """
     cfg = PANN_CONFIGS[target_sample_rate]
     n_fft, hop = cfg["window_size"], cfg["hop_size"]
-    power = dsp.stft_power_strided(padded_wave, num_frames, n_fft, n_fft, hop)
     mel_mat = jnp.asarray(
         dsp.slaney_mel_matrix(target_sample_rate, n_fft, cfg["mel_bins"], cfg["fmin"], cfg["fmax"])
     )
-    mel = jnp.matmul(power, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
-    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    if _use_pallas_frontend():
+        from .pallas_logmel import fused_logmel
+
+        log_mel = fused_logmel(
+            padded_wave, mel_mat, num_frames, n_fft, n_fft, hop,
+            power=True, amin=1e-10, interpret=jax.default_backend() == "cpu",
+        )
+    else:
+        power = dsp.stft_power_strided(padded_wave, num_frames, n_fft, n_fft, hop)
+        mel = jnp.matmul(power, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
+        log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     if n_valid_frames is not None:
         frame_ids = jnp.arange(num_frames)[None, :, None]
         log_mel = jnp.where(frame_ids < n_valid_frames[:, None, None], log_mel, 0.0)

@@ -36,6 +36,28 @@ def test_pann_mode_matches_strided():
     np.testing.assert_allclose(got, ref, atol=1e-4)
 
 
+def test_frontend_flag_routes_through_pallas(monkeypatch):
+    """FAD_TPU_PALLAS_FRONTEND=1 routes the public frontends through the
+    fused kernel with identical results."""
+    from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+    audio = (np.random.default_rng(3).standard_normal(32000) * 0.3).astype(np.float32)
+    fe.vggish_logmel_batch.clear_cache()
+    fe.vggish_patches_batch.clear_cache()
+    fe.pann_logmel_batch.clear_cache()
+    monkeypatch.setenv("FAD_TPU_PALLAS_FRONTEND", "1")
+    p1 = fe.waveform_to_examples(audio, 16000, return_tensor=False)
+    m1 = fe.waveform_to_logmel(audio, 16000, 16000, return_tensor=False)
+    fe.vggish_logmel_batch.clear_cache()
+    fe.vggish_patches_batch.clear_cache()
+    fe.pann_logmel_batch.clear_cache()
+    monkeypatch.setenv("FAD_TPU_PALLAS_FRONTEND", "0")
+    p2 = fe.waveform_to_examples(audio, 16000, return_tensor=False)
+    m2 = fe.waveform_to_logmel(audio, 16000, 16000, return_tensor=False)
+    np.testing.assert_allclose(p1, p2, atol=1e-5)
+    np.testing.assert_allclose(m1, m2, atol=1e-4)
+
+
 def test_strided_stft_matches_gather_framing():
     """The gather-free STFT equals the direct framed formulation."""
     wave = (np.random.default_rng(2).standard_normal((3, 20000)) * 0.5).astype(np.float32)
