@@ -104,9 +104,17 @@ def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int 
 
     artifact_path = os.path.join(ckpt_dir, cfg.reference_artifact)
     if os.path.exists(artifact_path):
-        from importlib import import_module
+        try:
+            from importlib import import_module
 
-        extract = import_module("tools.extract_weights")
+            extract = import_module("tools.extract_weights")
+        except ImportError as e:
+            raise FileNotFoundError(
+                f"Found reference artifact {artifact_path} but the conversion "
+                f"tool (tools/extract_weights.py, requires torch) is not "
+                f"importable: {e}. Convert offline and place "
+                f"{cfg.weight_filename} in {ckpt_dir}."
+            ) from e
         params = extract.extract(model_name, artifact_path)
         save_weights(bundle_path, params)
         return params

@@ -1,0 +1,97 @@
+"""Edge-case frontend tests mirroring the reference's remaining coverage
+(tests/test_basic.py, test_pann.py, test_clap.py edge tiers)."""
+
+import numpy as np
+import pytest
+
+from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+
+class TestVGGishEdges:
+    def test_short_audio_zero_patches(self, sine_audio):
+        out = fe.waveform_to_examples(sine_audio(0.5, 440.0), 16000, return_tensor=False)
+        assert out.shape == (0, 96, 64)
+
+    def test_resampling_input(self, sine_audio):
+        audio = sine_audio(2.0, 440.0, 44100)
+        out = fe.waveform_to_examples(audio, 44100, return_tensor=False)
+        assert out.shape[1:] == (96, 64)
+        assert out.shape[0] == 2
+
+    def test_stereo_mono_mix(self, sine_audio):
+        mono = sine_audio(2.0, 440.0)
+        stereo = np.stack([mono, mono], axis=1)
+        a = fe.waveform_to_examples(mono, 16000, return_tensor=False)
+        b = fe.waveform_to_examples(stereo, 16000, return_tensor=False)
+        np.testing.assert_allclose(a, b, atol=1e-6)
+
+    def test_tensor_mode_shape(self, sine_audio):
+        out = fe.waveform_to_examples(sine_audio(1.0, 440.0), 16000, return_tensor=True)
+        assert out.shape == (1, 1, 96, 64)
+
+
+class TestPANNEdges:
+    def test_invalid_target_sr_raises(self, sine_audio):
+        with pytest.raises(ValueError, match="target_sample_rate"):
+            fe.waveform_to_logmel(sine_audio(1.0, 440.0), 16000, target_sample_rate=12345)
+
+    def test_frame_count(self, sine_audio):
+        audio = sine_audio(1.0, 440.0, 16000)
+        out = fe.waveform_to_logmel(audio, 16000, 16000, return_tensor=False)
+        assert out.shape == (1 + 16000 // 160, 64)
+
+    def test_resampling(self, sine_audio):
+        audio = sine_audio(1.0, 440.0, 44100)
+        out = fe.waveform_to_logmel(audio, 44100, 16000, return_tensor=False)
+        assert out.shape[1] == 64
+
+    def test_stereo_mono_mix(self, sine_audio):
+        mono = sine_audio(1.0, 440.0, 16000)
+        stereo = np.stack([mono, mono], axis=1)
+        a = fe.waveform_to_logmel(mono, 16000, 16000, return_tensor=False)
+        b = fe.waveform_to_logmel(stereo, 16000, 16000, return_tensor=False)
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+    def test_48k_config_is_clap(self):
+        cfg = fe.PANN_CONFIGS[48000]
+        assert cfg["hop_size"] == 480 and cfg["window_size"] == 1024
+
+
+class TestCLAPEdges:
+    def test_quantization_effect_bounded(self, sine_audio):
+        """int16 round-trip error < -50 dB relative (reference
+        test_clap.py:83-104)."""
+        audio = sine_audio(0.5, 440.0, 48000)
+        q = (audio * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
+        err = np.sqrt(np.mean((audio - q) ** 2))
+        sig = np.sqrt(np.mean(audio ** 2))
+        assert 20 * np.log10(err / sig) < -50
+
+    def test_pad_audio_exact_and_too_long(self, sine_audio):
+        a = fe.pad_audio_to_max_length(sine_audio(1.0, 440.0, 48000), 48000)
+        assert len(a) == 480000
+        with pytest.raises(ValueError, match="Audio too long"):
+            fe.pad_audio_to_max_length(np.zeros(480001, np.float32), 48000)
+
+    def test_constants(self):
+        assert fe.CLAP_SAMPLE_RATE == 48000
+        assert fe.CLAP_MAX_SAMPLES == 480000
+        assert fe.CLAP_TIME_FRAMES == 1001
+        # 10 s at 48 kHz, hop 480, center=True -> exactly 1001 frames
+        assert fe.pann_num_frames(480000, 480) == 1001
+
+    def test_preprocess_shape(self, sine_audio):
+        audio = fe.pad_audio_to_max_length(sine_audio(2.0, 440.0, 48000), 48000)
+        out = fe.preprocess_for_clap(audio, 48000, return_tensor=False)
+        assert out.shape == (1001, 64)
+
+    def test_quantization_toggle(self, sine_audio):
+        audio = fe.pad_audio_to_max_length(sine_audio(0.5, 440.0, 48000), 48000)
+        q = fe.preprocess_for_clap(audio, 48000, return_tensor=False, apply_quantization=True)
+        nq = fe.preprocess_for_clap(audio, 48000, return_tensor=False, apply_quantization=False)
+        assert q.shape == nq.shape
+        assert not np.array_equal(q, nq)
+        # High-energy bins are barely affected; near the -100 dB floor the
+        # quantization noise dominates (expected, matches the reference).
+        strong = nq > -20.0
+        np.testing.assert_allclose(q[strong], nq[strong], atol=0.1)
