@@ -90,8 +90,39 @@ def bench_torch_cpu(n_patches: int = 128):
     return n_patches / dt
 
 
+def _arm_watchdog(seconds: int = 600):
+    """The tunneled TPU can wedge indefinitely (observed after killed
+    mid-flight clients); emit an honest zero-valued record instead of
+    hanging the driver."""
+    import json as _json
+    import os
+    import signal
+
+    def _fire(signum, frame):
+        print(
+            _json.dumps(
+                {
+                    "metric": "vggish_embedding_throughput",
+                    "value": 0.0,
+                    "unit": "audio_min/sec/chip",
+                    "vs_baseline": 0.0,
+                }
+            ),
+            flush=True,
+        )
+        print("bench watchdog fired: TPU unresponsive", file=sys.stderr, flush=True)
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
+
 def main():
+    _arm_watchdog()
     tpu_patches_per_sec, _ = bench_tpu()
+    import signal
+
+    signal.alarm(0)
     torch_patches_per_sec = bench_torch_cpu()
     to_audio_min_per_sec = PATCH_SECONDS / 60.0
     value = tpu_patches_per_sec * to_audio_min_per_sec

@@ -134,6 +134,106 @@ def _resample_1d(x: np.ndarray, sr_orig: int, sr_new: int, filter: str) -> np.nd
     return y.astype(out_dtype, copy=False)
 
 
+@functools.lru_cache(maxsize=32)
+def _polyphase_kernel(sr_orig: int, sr_new: int, filter: str):
+    """Per-phase dense kernels for the conv formulation of the resampler.
+
+    With ratio p/q (reduced), output j = k*p + r has a phase-dependent
+    fractional time (r*q mod p)/p, so the filter taps depend only on r. The
+    wing truncation at signal edges equals implicit zero padding, so padding
+    the input makes every output use the full per-phase kernel — i.e. the
+    whole resampler is ONE strided convolution [K, 1, p] with stride q. This
+    is the TPU/MXU path; numerics match the host algorithm to float32.
+
+    Returns (kernel [K, 1, p], left_pad, q, p).
+    """
+    import math
+
+    params = FILTERS[filter]
+    interp_win, num_table = sinc_window(
+        params["num_zeros"], params["precision"], params["beta"], params["rolloff"]
+    )
+    sample_ratio = sr_new / sr_orig
+    g = math.gcd(sr_orig, sr_new)
+    p, q = sr_new // g, sr_orig // g
+
+    win = interp_win * sample_ratio if sample_ratio < 1 else interp_win
+    delta = np.zeros_like(win)
+    delta[:-1] = np.diff(win)
+    scale = min(1.0, sample_ratio)
+    index_step = int(scale * num_table)
+    nwin = win.shape[0]
+
+    phases = []
+    min_pos, max_pos = 0, 0
+    for r in range(p):
+        n_off, rem = divmod(r * q, p)
+        frac = scale * (rem / p)
+        index_frac = frac * num_table
+        off = int(index_frac)
+        eta = index_frac - off
+        left_n = (nwin - off) // index_step
+        left_idx = off + np.arange(left_n) * index_step
+        left_w = win[left_idx] + eta * delta[left_idx]
+        left_pos = n_off - np.arange(left_n)
+
+        frac_r = scale - frac
+        index_frac = frac_r * num_table
+        off = int(index_frac)
+        eta = index_frac - off
+        right_n = (nwin - off) // index_step
+        right_idx = off + np.arange(right_n) * index_step
+        right_w = win[right_idx] + eta * delta[right_idx]
+        right_pos = n_off + 1 + np.arange(right_n)
+
+        pos = np.concatenate([left_pos, right_pos])
+        w = np.concatenate([left_w, right_w])
+        phases.append((pos, w))
+        min_pos = min(min_pos, int(pos.min()))
+        max_pos = max(max_pos, int(pos.max()))
+
+    k_len = max_pos - min_pos + 1
+    kernel = np.zeros((k_len, 1, p), np.float32)
+    for r, (pos, w) in enumerate(phases):
+        kernel[pos - min_pos, 0, r] += w.astype(np.float32)
+    return kernel, -min_pos, q, p
+
+
+def resample_jax(x, sr_orig: int, sr_new: int, filter: str = "kaiser_best"):
+    """Batched on-device resampling: [B, S] (or [S]) -> [B, n_out].
+
+    Same algorithm/filter as :func:`resample` but as a single strided
+    convolution on the accelerator — use for device-resident batch pipelines.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ..config import matmul_precision
+
+    if sr_orig == sr_new:
+        return jnp.asarray(x)
+    squeeze = False
+    x = jnp.asarray(x, jnp.float32)
+    if x.ndim == 1:
+        x = x[None]
+        squeeze = True
+    kernel, left_pad, q, p = _polyphase_kernel(sr_orig, sr_new, filter)
+    n_out = int(x.shape[-1] * (sr_new / sr_orig))
+    k_len = kernel.shape[0]
+    t_k = -(-n_out // p)  # conv output rows needed
+    need = (t_k - 1) * q + k_len
+    x_pad = jnp.pad(x, ((0, 0), (left_pad, max(0, need - left_pad - x.shape[-1]))))
+    out = jax.lax.conv_general_dilated(
+        x_pad[..., None], jnp.asarray(kernel),
+        window_strides=(q,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"),
+        preferred_element_type=jnp.float32,
+        precision=matmul_precision(),
+    )  # [B, T_k, p]
+    y = out[:, :t_k].reshape(x.shape[0], t_k * p)[:, :n_out]
+    return y[0] if squeeze else y
+
+
 def _accumulate_wing(y, x, win, delta, offset, eta, count, base, direction, index_step):
     """Vectorized wing accumulation: loop over tap index, vector ops over outputs."""
     max_taps = int(count.max(initial=0))

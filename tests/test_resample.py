@@ -3,7 +3,32 @@
 import numpy as np
 import pytest
 
-from frechet_audio_distance_exported_tpu.ops.resample import resample, sinc_window
+from frechet_audio_distance_exported_tpu.ops.resample import (
+    resample,
+    resample_jax,
+    sinc_window,
+)
+
+
+@pytest.mark.parametrize(
+    "sr_in,sr_out",
+    [(48000, 16000), (44100, 16000), (16000, 48000), (48000, 24000), (22050, 16000)],
+)
+def test_device_resampler_matches_host(sr_in, sr_out):
+    """The polyphase-conv device path equals the host algorithm (f32 floor)."""
+    x = (np.random.default_rng(0).standard_normal(sr_in) * 0.3).astype(np.float32)
+    host = resample(x, sr_in, sr_out)
+    dev = np.asarray(resample_jax(x, sr_in, sr_out))
+    assert host.shape == dev.shape
+    np.testing.assert_allclose(dev, host, atol=2e-6)
+
+
+def test_device_resampler_batched():
+    x = (np.random.default_rng(1).standard_normal((3, 48000)) * 0.3).astype(np.float32)
+    dev = np.asarray(resample_jax(x, 48000, 16000))
+    assert dev.shape == (3, 16000)
+    for b in range(3):
+        np.testing.assert_allclose(dev[b], resample(x[b], 48000, 16000), atol=2e-6)
 
 
 def test_identity_when_rates_match():
