@@ -244,6 +244,19 @@ class FrechetAudioDistance:
         if st_ev is None:
             print("[FAD-TPU] Eval set dir is empty, exiting...")
             return -1
-        mu1, sigma1 = stats_ops.finalize_stats(st_bg)
-        mu2, sigma2 = stats_ops.finalize_stats(st_ev)
-        return float(stats_ops.frechet_distance_jax(mu1, sigma1, mu2, sigma2))
+        # Epilogue on host in float64: the sums are tiny ([d] + [d, d]) next
+        # to the embedding matrix, and the float64 sqrtm matches the
+        # reference's algorithm; accuracy is then limited only by the
+        # shift-stabilized float32 accumulation.
+        def finalize64(st):
+            n = float(st.n)
+            s = np.asarray(st.s, dtype=np.float64)
+            ss = np.asarray(st.ss, dtype=np.float64)
+            shift = np.asarray(st.shift, dtype=np.float64)
+            mu_c = s / n
+            sigma = (ss - np.outer(mu_c, s)) / (n - 1.0)
+            return mu_c + shift, sigma
+
+        mu1, sigma1 = finalize64(st_bg)
+        mu2, sigma2 = finalize64(st_ev)
+        return float(stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2))

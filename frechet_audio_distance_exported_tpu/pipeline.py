@@ -272,6 +272,7 @@ class EmbeddingPipeline:
             groups.setdefault(fe.pann_valid_time(item[1]), []).append(i)
 
         per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        pending = []
         for t_grid, idxs in sorted(groups.items()):
             length = t_grid * hop + n_fft  # covers every member's padded signal
             for c0 in range(0, len(idxs), self.file_batch):
@@ -292,9 +293,12 @@ class EmbeddingPipeline:
                     for i in chunk_idx:
                         per_file[i] = 1
                 else:
-                    emb = np.asarray(emb_dev)
-                    for row, i in enumerate(chunk_idx):
-                        per_file[i] = emb[row : row + 1]
+                    pending.append((chunk_idx, emb_dev))
+        # Convert after all dispatches so XLA execution overlaps host packing.
+        for chunk_idx, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, i in enumerate(chunk_idx):
+                per_file[i] = emb[row : row + 1]
         return per_file
 
     # ------------------------------------------------------------------
@@ -331,6 +335,7 @@ class EmbeddingPipeline:
             groups.setdefault(bucket_len(len(item)), []).append(i)
 
         per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        pending = []
         for s_bucket, idxs in sorted(groups.items()):
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
@@ -347,9 +352,11 @@ class EmbeddingPipeline:
                     for i in chunk_idx:
                         per_file[i] = 1
                 else:
-                    emb = np.asarray(emb_dev)
-                    for row, i in enumerate(chunk_idx):
-                        per_file[i] = emb[row : row + 1]
+                    pending.append((chunk_idx, emb_dev))
+        for chunk_idx, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, i in enumerate(chunk_idx):
+                per_file[i] = emb[row : row + 1]
         return per_file
 
     # ------------------------------------------------------------------
@@ -390,6 +397,7 @@ class EmbeddingPipeline:
 
         idxs = [i for i, p in enumerate(prepped) if p is not None]
         per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
+        pending = []
         for c0 in range(0, len(idxs), self.file_batch):
             chunk_idx = idxs[c0 : c0 + self.file_batch]
             b = bucket_batch(len(chunk_idx), self.file_batch)
@@ -406,9 +414,11 @@ class EmbeddingPipeline:
                 mask = (np.arange(t)[None, :] < frames[:, None]).astype(np.float32)
                 sink(emb_dev.reshape(b * t, -1), jnp.asarray(mask.reshape(-1)))
             else:
-                emb = np.asarray(emb_dev)
-                for row, i in enumerate(chunk_idx):
-                    per_file[i] = emb[row, : prepped[i][1]]
+                pending.append((chunk_idx, emb_dev))
+        for chunk_idx, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, i in enumerate(chunk_idx):
+                per_file[i] = emb[row, : prepped[i][1]]
         return per_file
 
     def _log_skip(self, e: Exception) -> None:
