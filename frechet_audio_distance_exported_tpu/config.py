@@ -23,3 +23,16 @@ _PRECISIONS = {
 
 def matmul_precision() -> jax.lax.Precision:
     return _PRECISIONS[os.environ.get("FAD_TPU_PRECISION", "highest").lower()]
+
+
+def model_dtype():
+    """Model compute dtype: float32 (default, parity) or bfloat16
+    (FAD_TPU_MODEL_DTYPE=bfloat16 — native MXU dtype, ~2x matmul throughput
+    and half the weight HBM traffic; expect FAD differences at the 1e-2
+    level). Frontends and statistics always stay float32."""
+    import jax.numpy as jnp
+
+    name = os.environ.get("FAD_TPU_MODEL_DTYPE", "float32").lower()
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    return jnp.float32

@@ -208,8 +208,10 @@ def clap_forward(params: dict, log_mel: jnp.ndarray) -> jnp.ndarray:
     x = x.reshape(b, FREQ_RATIO, TARGET_T // FREQ_RATIO, MEL_BINS)  # [B, q, tt, f]
     x = jnp.transpose(x, (0, 1, 3, 2))  # [B, q, f, tt]
     x = x.reshape(b, SPEC_SIZE, SPEC_SIZE)[..., None]
-    # Patch embed: 4x4/4 conv + LayerNorm.
+    # Patch embed: 4x4/4 conv + LayerNorm. (The interpolation matmul promotes
+    # to float32; re-enter the weights' dtype for bf16-mode compatibility.)
     pe = params["patch_embed"]
+    x = x.astype(pe["conv"]["w"].dtype)
     x = common.conv2d(x, pe["conv"]["w"], pe["conv"]["b"], stride=(4, 4), padding="VALID")
     x = x.reshape(b, -1, EMBED_DIM)
     x = common.layer_norm(x, **pe["norm"])

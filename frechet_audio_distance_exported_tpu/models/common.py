@@ -35,9 +35,9 @@ def conv2d(
     out = jax.lax.conv_general_dilated(
         x, w, window_strides=stride, padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32,  # f32 accumulation even in bf16 mode
         precision=matmul_precision(),
-    )
+    ).astype(x.dtype)
     if b is not None:
         out = out + b
     return out
@@ -56,9 +56,9 @@ def conv1d(
         x, w, window_strides=(stride,), padding="VALID",
         rhs_dilation=(dilation,),
         dimension_numbers=("NWC", "WIO", "NWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=jnp.float32,  # f32 accumulation even in bf16 mode
         precision=matmul_precision(),
-    )
+    ).astype(x.dtype)
     if b is not None:
         out = out + b
     return out
@@ -115,7 +115,9 @@ def layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float
 
 
 def linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray] = None) -> jnp.ndarray:
-    out = jnp.matmul(x, w, preferred_element_type=jnp.float32, precision=matmul_precision())
+    out = jnp.matmul(
+        x, w, preferred_element_type=jnp.float32, precision=matmul_precision()
+    ).astype(x.dtype)
     if b is not None:
         out = out + b
     return out

@@ -71,6 +71,23 @@ class EmbeddingPipeline:
         self.verbose = verbose
         self._forward = self._resolve_forward()
 
+        from .config import model_dtype
+
+        dtype = model_dtype()
+        if dtype != jnp.float32:
+            # bfloat16 inference: cast weights once, cast inputs per call,
+            # upcast outputs so statistics stay float32.
+            self.params = jax.tree_util.tree_map(
+                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
+                self.params,
+            )
+            inner = self._forward
+
+            def bf16_forward(params, x, _inner=inner, _dtype=dtype):
+                return _inner(params, x.astype(_dtype)).astype(jnp.float32)
+
+            self._forward = bf16_forward
+
     def _resolve_forward(self) -> Callable:
         family = self.cfg.family
         if family == "vggish":
