@@ -28,6 +28,14 @@ from . import dsp
 T_TILE = 256  # frames per kernel instance
 
 
+def _round8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _round128(n: int) -> int:
+    return ((n + 127) // 128) * 128
+
+
 def _fused_kernel(
     x_hbm,  # [U, hop] hop-rows of one batch element, ANY/HBM
     cos_ref,  # [M, hop, F] VMEM
@@ -42,24 +50,29 @@ def _fused_kernel(
     log_offset: float,
     amin: float,
 ):
+    b = pl.program_id(0)
     t = pl.program_id(1)
-    rows = T_TILE + num_chunks - 1
+    # DMA row count padded to the 8-row sublane tile (Mosaic requirement).
+    rows = _round8(T_TILE + num_chunks - 1)
     copy = pltpu.make_async_copy(
-        x_hbm.at[0, pl.ds(t * T_TILE, rows), :], x_vmem, dma_sem
+        x_hbm.at[b, pl.ds(t * T_TILE, rows), :], x_vmem, dma_sem
     )
     copy.start()
     copy.wait()
 
+    from ..config import matmul_precision
+
+    prec = matmul_precision()
     re = jnp.zeros((T_TILE, cos_ref.shape[-1]), jnp.float32)
     im = jnp.zeros((T_TILE, cos_ref.shape[-1]), jnp.float32)
     for m in range(num_chunks):
         xm = x_vmem[m : m + T_TILE, :]
-        re = re + jnp.dot(xm, cos_ref[m], preferred_element_type=jnp.float32)
-        im = im + jnp.dot(xm, sin_ref[m], preferred_element_type=jnp.float32)
+        re = re + jnp.dot(xm, cos_ref[m], preferred_element_type=jnp.float32, precision=prec)
+        im = im + jnp.dot(xm, sin_ref[m], preferred_element_type=jnp.float32, precision=prec)
     spec = re * re + im * im
     if not power:
         spec = jnp.sqrt(spec)
-    mel = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32)
+    mel = jnp.dot(spec, mel_ref[:], preferred_element_type=jnp.float32, precision=prec)
     if power:
         out_ref[0] = 10.0 * jnp.log10(jnp.maximum(mel, amin))
     else:
@@ -94,12 +107,20 @@ def fused_logmel(
     num_chunks = cos_c.shape[0]
     mels = mel_matrix.shape[-1]
     num_tiles = -(-num_frames // T_TILE)
-    rows_needed = (num_tiles * T_TILE + num_chunks - 1) * hop_length
+    # Last tile DMAs an 8-row-aligned window starting at (num_tiles-1)*T_TILE.
+    rows_needed = ((num_tiles - 1) * T_TILE + _round8(T_TILE + num_chunks - 1)) * hop_length
 
     b = wave.shape[0]
     if wave.shape[-1] < rows_needed:
         wave = jnp.pad(wave, ((0, 0), (0, rows_needed - wave.shape[-1])))
     x = wave[:, :rows_needed].reshape(b, -1, hop_length)
+    # Mosaic DMA lanes must be 128-aligned: pad hop rows (and the matching DFT
+    # chunk rows with zeros, so padded lanes contribute nothing).
+    lane = _round128(hop_length)
+    if lane != hop_length:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, lane - hop_length)))
+        cos_c = np.pad(cos_c, ((0, 0), (0, lane - hop_length), (0, 0)))
+        sin_c = np.pad(sin_c, ((0, 0), (0, lane - hop_length), (0, 0)))
 
     kernel = functools.partial(
         _fused_kernel,
@@ -113,11 +134,12 @@ def fused_logmel(
         kernel,
         grid=(b, num_tiles),
         in_specs=[
-            pl.BlockSpec((1, x.shape[1], hop_length), lambda bi, ti: (bi, 0, 0),
-                         memory_space=pltpu.ANY),
-            pl.BlockSpec((num_chunks, hop_length, f), lambda bi, ti: (0, 0, 0),
+            # ANY-space operands must be whole-array with a trivial index map;
+            # the kernel DMAs its own overlapping [rows, hop] window per tile.
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((num_chunks, lane, f), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((num_chunks, hop_length, f), lambda bi, ti: (0, 0, 0),
+            pl.BlockSpec((num_chunks, lane, f), lambda bi, ti: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((f, mels), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM),
         ],
@@ -125,7 +147,7 @@ def fused_logmel(
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, num_tiles * T_TILE, mels), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((T_TILE + num_chunks - 1, hop_length), jnp.float32),
+            pltpu.VMEM((_round8(T_TILE + num_chunks - 1), lane), jnp.float32),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
