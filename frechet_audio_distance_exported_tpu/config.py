@@ -25,6 +25,20 @@ def matmul_precision() -> jax.lax.Precision:
     return _PRECISIONS[os.environ.get("FAD_TPU_PRECISION", "highest").lower()]
 
 
+def enable_compilation_cache(path: str | None = None) -> None:
+    """Persist XLA compilations across processes (first TPU compile of each
+    shape bucket costs tens of seconds; the cache amortizes it). Also enabled
+    automatically when FAD_TPU_COMPILE_CACHE names a directory."""
+    path = path or os.environ.get("FAD_TPU_COMPILE_CACHE")
+    if not path:
+        return
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+enable_compilation_cache()
+
+
 def model_dtype():
     """Model compute dtype: float32 (default, parity) or bfloat16
     (FAD_TPU_MODEL_DTYPE=bfloat16 — native MXU dtype, ~2x matmul throughput

@@ -53,7 +53,7 @@ class FrechetAudioDistance:
         audio_load_worker: int = 8,
         weights: str = "auto",
         seed: int = 0,
-        file_batch: int = 8,
+        file_batch: Optional[int] = None,
         patch_chunk: int = 128,
     ):
         """Initialize the FAD calculator.
