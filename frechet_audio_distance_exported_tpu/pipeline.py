@@ -72,6 +72,8 @@ class EmbeddingPipeline:
             # the MXU at 8 already.
             file_batch = 16 if self.cfg.family == "encodec" else 8
         self.file_batch = file_batch
+        self.mesh = None
+        self._min_batch = 1
         self.patch_chunk = patch_chunk
         self.verbose = verbose
         self._forward = self._resolve_forward()
@@ -117,6 +119,41 @@ class EmbeddingPipeline:
     # ------------------------------------------------------------------
     # Public entry points
     # ------------------------------------------------------------------
+
+    def set_mesh(self, mesh) -> None:
+        """Enable data-parallel execution over a 1-D 'data' mesh: params are
+        replicated, file/patch batches are sharded over the mesh axis, and
+        XLA propagates the sharding through every jitted stage (the batch
+        dimension is embarrassingly parallel; the streamed statistics are the
+        only cross-device reduction and live in parallel/embed.py)."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        self.mesh = mesh
+        if mesh is not None:
+            replicated = NamedSharding(mesh, P())
+            self.params = jax.device_put(self.params, replicated)
+            # Batch buckets must stay divisible by the mesh size.
+            n = mesh.devices.size
+            self.file_batch = max(self.file_batch, n)
+            self.patch_chunk = max(self.patch_chunk, n)
+            self._min_batch = n
+
+    def _bucket_batch(self, n: int) -> int:
+        return max(bucket_batch(n, self.file_batch), self._min_batch)
+
+    def _to_device(self, arr: np.ndarray):
+        """Host batch -> device array (sharded over 'data' when a mesh is set;
+        callers guarantee batch dims are padded to power-of-two buckets >=
+        the mesh size)."""
+        import jax
+
+        if self.mesh is None:
+            return jnp.asarray(arr)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P("data", *([None] * (arr.ndim - 1)))
+        return jax.device_put(arr, NamedSharding(self.mesh, spec))
 
     def embed_files(
         self, audio_list: List[np.ndarray], sr: int, strict: bool = False, sink=None
@@ -235,13 +272,13 @@ class EmbeddingPipeline:
             p_max = fe.vggish_num_patches(s_bucket)
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
-                b = bucket_batch(len(chunk_idx), self.file_batch)
+                b = self._bucket_batch(len(chunk_idx))
                 wave = np.zeros((b, s_bucket), dtype=np.float32)
                 p_counts = []
                 for row, i in enumerate(chunk_idx):
                     wave[row, : len(prepped[i])] = prepped[i]
                     p_counts.append(fe.vggish_num_patches(len(prepped[i])))
-                patches = fe.vggish_patches_batch(jnp.asarray(wave), p_max)
+                patches = fe.vggish_patches_batch(self._to_device(wave), p_max)
                 # Select only the valid patches of each file, preserving order.
                 sel_rows, sel_patch = [], []
                 for row, count in enumerate(p_counts):
@@ -299,7 +336,7 @@ class EmbeddingPipeline:
             length = t_grid * hop + n_fft  # covers every member's padded signal
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
-                b = bucket_batch(len(chunk_idx), self.file_batch)
+                b = self._bucket_batch(len(chunk_idx))
                 wave = np.zeros((b, length), dtype=np.float32)
                 n_valid = np.zeros((b,), dtype=np.int32)
                 for row, i in enumerate(chunk_idx):
@@ -307,7 +344,7 @@ class EmbeddingPipeline:
                     wave[row, : len(padded)] = padded
                     n_valid[row] = t_i
                 log_mel = fe.pann_logmel_batch(
-                    jnp.asarray(wave), target_sr, t_grid, jnp.asarray(n_valid)
+                    self._to_device(wave), target_sr, t_grid, jnp.asarray(n_valid)
                 )
                 emb_dev = self._forward(self.params, log_mel)
                 if sink is not None:
@@ -361,12 +398,12 @@ class EmbeddingPipeline:
         for s_bucket, idxs in sorted(groups.items()):
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
-                b = bucket_batch(len(chunk_idx), self.file_batch)
+                b = self._bucket_batch(len(chunk_idx))
                 wave = np.zeros((b, s_bucket), dtype=np.float32)
                 for row, i in enumerate(chunk_idx):
                     wave[row, : len(prepped[i])] = prepped[i]
                 log_mel = fe.pann_logmel_batch(
-                    jnp.asarray(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES
+                    self._to_device(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES
                 )
                 emb_dev = self._forward(self.params, log_mel)
                 if sink is not None:
@@ -422,11 +459,11 @@ class EmbeddingPipeline:
         pending = []
         for c0 in range(0, len(idxs), self.file_batch):
             chunk_idx = idxs[c0 : c0 + self.file_batch]
-            b = bucket_batch(len(chunk_idx), self.file_batch)
+            b = self._bucket_batch(len(chunk_idx))
             wave = np.zeros((b, channels, max_samples), dtype=np.float32)
             for row, i in enumerate(chunk_idx):
                 wave[row] = prepped[i][0]
-            emb_dev = self._forward(self.params, jnp.asarray(wave))  # [B, T, 128]
+            emb_dev = self._forward(self.params, self._to_device(wave))  # [B, T, 128]
             if sink is not None:
                 t = emb_dev.shape[1]
                 frames = np.zeros((b,), np.int32)
