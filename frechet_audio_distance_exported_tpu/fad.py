@@ -55,6 +55,7 @@ class FrechetAudioDistance:
         seed: int = 0,
         file_batch: Optional[int] = None,
         patch_chunk: int = 128,
+        mesh=None,
     ):
         """Initialize the FAD calculator.
 
@@ -70,6 +71,8 @@ class FrechetAudioDistance:
             weights: 'auto' (load/convert bundle) or 'random' (tests/benches).
             seed: PRNG seed for weights='random'.
             file_batch / patch_chunk: batching knobs of the TPU pipeline.
+            mesh: optional jax.sharding.Mesh with a 'data' axis
+                (parallel.mesh.data_mesh()); shards batches over chips.
         """
         if model_name not in VALID_MODELS:
             raise ValueError(
@@ -94,6 +97,7 @@ class FrechetAudioDistance:
         self._seed = seed
         self._file_batch = file_batch
         self._patch_chunk = patch_chunk
+        self._mesh = mesh
 
         import jax
 
@@ -122,6 +126,8 @@ class FrechetAudioDistance:
             patch_chunk=self._patch_chunk,
             verbose=self.verbose,
         )
+        if self._mesh is not None:
+            self.pipeline.set_mesh(self._mesh)
 
     # ------------------------------------------------------------------
     # Embeddings
