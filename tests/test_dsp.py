@@ -180,3 +180,17 @@ def test_clap_quantization_matches_reference_formula(sine_audio):
     got = np.asarray(frontends.clap_quantize(audio))
     # XLA folds /32767 into a reciprocal multiply: allow 1 ulp.
     np.testing.assert_allclose(got, expected, rtol=0, atol=2e-7)
+
+
+def test_vggish_frontend_matches_committed_golden(sine_audio):
+    """Golden array captured once from the reference package (tests/goldens/),
+    so frontend parity is checked even without /root/reference mounted."""
+    import os
+
+    golden_path = os.path.join(os.path.dirname(__file__), "goldens",
+                               "vggish_patches_sine440_3s.npy")
+    golden = np.load(golden_path)
+    audio = sine_audio(3.0, 440.0)
+    ours = frontends.waveform_to_examples(audio, 16000, return_tensor=False)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=3e-3)
