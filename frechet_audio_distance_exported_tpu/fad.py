@@ -54,7 +54,7 @@ class FrechetAudioDistance:
         weights: str = "auto",
         seed: int = 0,
         file_batch: Optional[int] = None,
-        patch_chunk: int = 128,
+        patch_chunk: int = 256,
         mesh=None,
     ):
         """Initialize the FAD calculator.

@@ -61,16 +61,17 @@ class EmbeddingPipeline:
         model_name: str,
         params,
         file_batch: Optional[int] = None,
-        patch_chunk: int = 128,
+        patch_chunk: int = 256,
         verbose: bool = False,
     ):
         self.cfg = registry.get_model_config(model_name)
         self.params = params
         if file_batch is None:
-            # Encodec's scan-LSTM amortizes over batch (measured 2.7x going
-            # 4 -> 16 files/step on v5e); conv/transformer families saturate
-            # the MXU at 8 already.
-            file_batch = 16 if self.cfg.family == "encodec" else 8
+            # Per-family defaults measured on v5e: per-step dispatch latency
+            # dominates small batches, so 10 s clips scale near-linearly to
+            # B=32 (PANN 32->93 audio-min/s, CLAP ->83, Encodec 4->16 was
+            # 2.7x; VGGish batches patches separately via patch_chunk).
+            file_batch = 16 if self.cfg.family == "vggish" else 32
         self.file_batch = file_batch
         self.mesh = None
         self._min_batch = 1
