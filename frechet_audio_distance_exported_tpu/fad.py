@@ -266,3 +266,19 @@ class FrechetAudioDistance:
         mu1, sigma1 = finalize64(st_bg)
         mu2, sigma2 = finalize64(st_ev)
         return float(stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2))
+
+    def warmup(self, durations=(10.0,), num_files: int = None) -> None:
+        """Pre-compile the pipeline for clips of the given durations (seconds).
+
+        XLA compiles one program per shape bucket; serving deployments call
+        this once (optionally with FAD_TPU_COMPILE_CACHE set) so the first
+        real request doesn't pay tens of seconds of compilation.
+        """
+        num_files = num_files or self.pipeline.file_batch
+        rng = np.random.default_rng(0)
+        for dur in durations:
+            clips = [
+                (rng.standard_normal(int(self.sample_rate * dur)) * 0.1).astype(np.float32)
+                for _ in range(num_files)
+            ]
+            self.pipeline.embed_files(clips, self.sample_rate, strict=False)

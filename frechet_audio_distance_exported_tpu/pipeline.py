@@ -71,7 +71,7 @@ class EmbeddingPipeline:
             # dominates small batches, so 10 s clips scale near-linearly to
             # B=32 (PANN 32->93 audio-min/s, CLAP ->83, Encodec 4->16 was
             # 2.7x; VGGish batches patches separately via patch_chunk).
-            file_batch = 16 if self.cfg.family == "vggish" else 32
+            file_batch = 32
         self.file_batch = file_batch
         self.mesh = None
         self._min_batch = 1
