@@ -171,15 +171,29 @@ class EmbeddingPipeline:
         instead of arrays.
         """
         family = self.cfg.family
-        if family == "vggish":
-            return self._embed_vggish(audio_list, sr, strict, sink)
-        if family == "pann":
-            return self._embed_pann(audio_list, sr, strict, sink)
-        if family == "clap":
-            return self._embed_clap(audio_list, sr, strict, sink)
-        if family == "encodec":
-            return self._embed_encodec(audio_list, sr, strict, sink)
-        raise ValueError(f"Unknown family: {family}")
+        self._pbar = None
+        if self.verbose and len(audio_list) > 1:
+            from tqdm import tqdm
+
+            self._pbar = tqdm(total=len(audio_list), desc=f"[FAD-TPU] {self.cfg.name}")
+        try:
+            if family == "vggish":
+                return self._embed_vggish(audio_list, sr, strict, sink)
+            if family == "pann":
+                return self._embed_pann(audio_list, sr, strict, sink)
+            if family == "clap":
+                return self._embed_clap(audio_list, sr, strict, sink)
+            if family == "encodec":
+                return self._embed_encodec(audio_list, sr, strict, sink)
+            raise ValueError(f"Unknown family: {family}")
+        finally:
+            if self._pbar is not None:
+                self._pbar.close()
+                self._pbar = None
+
+    def _tick(self, n: int) -> None:
+        if self._pbar is not None:
+            self._pbar.update(n)
 
     def embed_single(self, audio: np.ndarray, sr: int) -> np.ndarray:
         """Single-file hook (reference: fad.py:410-481) — raises on error."""
@@ -291,6 +305,7 @@ class EmbeddingPipeline:
                 for i, count in zip(chunk_idx, p_counts):
                     per_file[i] = count if sink is not None else emb[off : off + count]
                     off += count
+                self._tick(len(chunk_idx))
         return per_file
 
     # ------------------------------------------------------------------
@@ -354,6 +369,7 @@ class EmbeddingPipeline:
                         per_file[i] = 1
                 else:
                     pending.append((chunk_idx, emb_dev))
+                self._tick(len(chunk_idx))
         # Convert after all dispatches so XLA execution overlaps host packing.
         for chunk_idx, emb_dev in pending:
             emb = np.asarray(emb_dev)
@@ -413,6 +429,7 @@ class EmbeddingPipeline:
                         per_file[i] = 1
                 else:
                     pending.append((chunk_idx, emb_dev))
+                self._tick(len(chunk_idx))
         for chunk_idx, emb_dev in pending:
             emb = np.asarray(emb_dev)
             for row, i in enumerate(chunk_idx):
@@ -475,6 +492,7 @@ class EmbeddingPipeline:
                 sink(emb_dev.reshape(b * t, -1), jnp.asarray(mask.reshape(-1)))
             else:
                 pending.append((chunk_idx, emb_dev))
+            self._tick(len(chunk_idx))
         for chunk_idx, emb_dev in pending:
             emb = np.asarray(emb_dev)
             for row, i in enumerate(chunk_idx):
