@@ -77,6 +77,9 @@ class EmbeddingPipeline:
         self._min_batch = 1
         self.patch_chunk = patch_chunk
         self.verbose = verbose
+        from .utils.profiling import StageTimer
+
+        self.timer = StageTimer()
         self._forward = self._resolve_forward()
 
         from .config import model_dtype
@@ -177,19 +180,22 @@ class EmbeddingPipeline:
 
             self._pbar = tqdm(total=len(audio_list), desc=f"[FAD-TPU] {self.cfg.name}")
         try:
-            if family == "vggish":
-                return self._embed_vggish(audio_list, sr, strict, sink)
-            if family == "pann":
-                return self._embed_pann(audio_list, sr, strict, sink)
-            if family == "clap":
-                return self._embed_clap(audio_list, sr, strict, sink)
-            if family == "encodec":
-                return self._embed_encodec(audio_list, sr, strict, sink)
-            raise ValueError(f"Unknown family: {family}")
+            with self.timer.stage(f"embed_files[{family}]"):
+                if family == "vggish":
+                    return self._embed_vggish(audio_list, sr, strict, sink)
+                if family == "pann":
+                    return self._embed_pann(audio_list, sr, strict, sink)
+                if family == "clap":
+                    return self._embed_clap(audio_list, sr, strict, sink)
+                if family == "encodec":
+                    return self._embed_encodec(audio_list, sr, strict, sink)
+                raise ValueError(f"Unknown family: {family}")
         finally:
             if self._pbar is not None:
                 self._pbar.close()
                 self._pbar = None
+            if self.verbose:
+                print(self.timer.report())
 
     def _tick(self, n: int) -> None:
         if self._pbar is not None:
