@@ -15,7 +15,6 @@ the numerical reference for the kernel's tests (interpret mode on CPU).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -9,12 +9,11 @@ one jitted program, no host round-trips, deterministic reduction order.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops import stats as stats_ops
 from .mesh import DATA_AXIS

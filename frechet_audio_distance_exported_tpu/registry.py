@@ -10,8 +10,7 @@ JAX param pytrees.
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass, field
-from typing import Optional
+from dataclasses import dataclass
 
 # Valid model names and their configurations (reference: fad.py:109-117).
 VALID_MODELS = {
