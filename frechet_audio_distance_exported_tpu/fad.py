@@ -238,12 +238,46 @@ class FrechetAudioDistance:
             print(f"[FAD-TPU] An error occurred: {e}")
             return -1
 
+    def _stream_audio_chunks(self, dir: str, dtype: str, chunk_files: int):
+        """Decode a directory in bounded chunks with the thread pool working
+        ahead — device compute overlaps host decode, and host memory holds at
+        most ~2 chunks of waveforms (the reference loads the entire directory
+        into RAM first, fad.py:557-591)."""
+        from multiprocessing.dummy import Pool as ThreadPool
+
+        files = audio_io.list_audio_files(dir)
+        paths = [os.path.join(dir, f) for f in files]
+        pool = ThreadPool(self.audio_load_worker)
+        try:
+            it = pool.imap(
+                lambda p: audio_io.load_audio(p, self.sample_rate, self.channels, dtype),
+                paths,
+            )
+            chunk = []
+            for audio in it:
+                chunk.append(audio)
+                if len(chunk) >= chunk_files:
+                    yield chunk
+                    chunk = []
+            if chunk:
+                yield chunk
+        finally:
+            pool.close()
+            pool.join()
+
+    def _accumulate_dir(self, dir: str, dtype: str):
+        state = None
+        for chunk in self._stream_audio_chunks(dir, dtype, 4 * self.pipeline.file_batch):
+            state = self.pipeline.accumulate_stats(chunk, self.sample_rate, state=state)
+        return state
+
     def _score_device_stats(self, background_dir: str, eval_dir: str, dtype: str) -> float:
-        """Fully on-device scoring: streamed statistics + eigh Fréchet epilogue."""
-        audio_background = self._load_audio_files(background_dir, dtype=dtype)
-        audio_eval = self._load_audio_files(eval_dir, dtype=dtype)
-        st_bg = self.pipeline.accumulate_stats(audio_background, self.sample_rate)
-        st_ev = self.pipeline.accumulate_stats(audio_eval, self.sample_rate)
+        """Fully on-device scoring: streamed statistics + eigh Fréchet epilogue.
+
+        Streaming ingestion: decode overlaps device compute and host memory
+        stays bounded regardless of corpus size."""
+        st_bg = self._accumulate_dir(background_dir, dtype)
+        st_ev = self._accumulate_dir(eval_dir, dtype)
         if st_bg is None:
             print("[FAD-TPU] Background set dir is empty, exiting...")
             return -1

@@ -206,17 +206,19 @@ class EmbeddingPipeline:
         out = self.embed_files([audio], sr, strict=True)[0]
         return out
 
-    def accumulate_stats(self, audio_list: List[np.ndarray], sr: int):
+    def accumulate_stats(self, audio_list: List[np.ndarray], sr: int, state=None):
         """Single-pass on-device (N, Σx, Σxxᵀ) over all embedding rows —
         embeddings never leave the device.
 
         Uses the shift-stabilized streaming accumulator (ops.stats); the
-        shift is the masked mean of the first delivered row batch. Returns a
-        StreamingStats (None if every file failed).
+        shift is the masked mean of the first delivered row batch. Pass the
+        returned StreamingStats back as ``state`` to continue accumulating
+        across chunks of a larger corpus (bounded host memory). Returns None
+        if every file failed and no prior state was given.
         """
         from .ops import stats as stats_ops
 
-        box = {"state": None}
+        box = {"state": state}
 
         def sink(rows, mask):
             if mask is None:
