@@ -62,6 +62,9 @@ def _fused_kernel(
     from ..config import matmul_precision
 
     prec = matmul_precision()
+    if prec == jax.lax.Precision.HIGH:
+        # Mosaic only lowers DEFAULT/HIGHEST dot precisions.
+        prec = jax.lax.Precision.HIGHEST
     re = jnp.zeros((T_TILE, cos_ref.shape[-1]), jnp.float32)
     im = jnp.zeros((T_TILE, cos_ref.shape[-1]), jnp.float32)
     for m in range(num_chunks):
