@@ -115,3 +115,23 @@ class TestFrechetJax:
             )
         )
         assert abs(got - ref) / max(abs(ref), 1.0) < 2e-2, (got, ref)
+
+    def test_ns_rank_deficient_falls_back_finite(self):
+        """Newton-Schulz diverges on singular products; the non-finite retry
+        reroutes through eigh and must stay finite and accurate."""
+        d, n = 128, 20
+        rng = np.random.default_rng(11)
+        x1 = rng.standard_normal((n, d))
+        x2 = rng.standard_normal((n, d)) + 0.1
+        mu1, s1 = x1.mean(0), np.cov(x1, rowvar=False)
+        mu2, s2 = x2.mean(0), np.cov(x2, rowvar=False)
+        ref = st.frechet_distance_np(mu1, s1, mu2, s2)
+        got = float(
+            st.frechet_distance_jax(
+                jnp.asarray(mu1, jnp.float32), jnp.asarray(s1, jnp.float32),
+                jnp.asarray(mu2, jnp.float32), jnp.asarray(s2, jnp.float32),
+                method="newton_schulz",
+            )
+        )
+        assert np.isfinite(got)
+        assert abs(got - ref) / abs(ref) < 5e-2, (got, ref)
