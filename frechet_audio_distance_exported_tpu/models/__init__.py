@@ -14,6 +14,8 @@ from .pann import (
     init_pann_params,
     EMBEDDING_SIZE as PANN_EMBEDDING_SIZE,
 )
+from .encodec import encodec_forward, init_encodec_params
+from .clap import clap_forward, init_clap_params
 from ..ops.frontends import (
     waveform_to_examples,
     waveform_to_logmel,
@@ -42,6 +44,10 @@ __all__ = [
     "pann_forward",
     "init_pann_params",
     "PANN_EMBEDDING_SIZE",
+    "encodec_forward",
+    "init_encodec_params",
+    "clap_forward",
+    "init_clap_params",
     "waveform_to_examples",
     "waveform_to_logmel",
     "PANN_CONFIGS",
