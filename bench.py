@@ -42,17 +42,26 @@ def bench_tpu():
         patches = fe.vggish_patches_batch(wave, num_patches)
         return vggish_forward(params, patches.reshape(-1, 96, 64))
 
+    from collections import deque
+
     import numpy as np
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (FILES_PER_STEP, s), jnp.float32) * 0.1
-    # Timing forces a device->host materialization every iteration:
-    # block_until_ready is unreliable through the axon tunnel, and a real
-    # scoring pipeline fetches embeddings anyway.
+    # Timing forces a device->host materialization per step (block_until_ready
+    # is unreliable through the axon tunnel, and a real scoring pipeline
+    # fetches embeddings anyway), with 2-deep pipelining so result transfer
+    # overlaps the next step's compute — the same deferred-materialization
+    # pattern the production pipeline uses.
     out = np.asarray(step(params, wave))  # compile + warmup
-    n_iters = 3
+    n_iters = 6
+    queue = deque()
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        out = np.asarray(step(params, wave))
+        queue.append(step(params, wave))
+        if len(queue) >= 2:
+            out = np.asarray(queue.popleft())
+    while queue:
+        out = np.asarray(queue.popleft())
     dt = (time.perf_counter() - t0) / n_iters
     patches_per_step = FILES_PER_STEP * num_patches
     return patches_per_step / dt, out.shape[0]
