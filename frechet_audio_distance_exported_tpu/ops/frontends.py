@@ -118,8 +118,8 @@ def pann_valid_time(time: int) -> int:
     the numerics: zero log-mel rows flow through global pooling."""
     k = (time + 24 + 31) // 32
     valid = 32 * k - 24
-    if valid < time:
-        valid += 32
+    if valid < time:  # unreachable for time >= 1; kept to mirror the
+        valid += 32   # reference's own safety bump (fad.py:58-59)
     return valid
 
 
@@ -219,8 +219,15 @@ def pann_logmel_batch(
 @jax.jit
 def clap_quantize(audio: jnp.ndarray) -> jnp.ndarray:
     """int16 round-trip quantization CLAP was trained with
-    (reference: models/clap.py:70-72)."""
-    return (audio * 32767.0).astype(jnp.int16).astype(jnp.float32) / 32767.0
+    (reference: models/clap.py:70-72).
+
+    NumPy's float->int16 cast wraps modulo 2^16 for out-of-range values
+    (|x| > 1.0, legal in IEEE-float WAVs) while XLA's convert saturates; the
+    int32 + modulo formulation reproduces the NumPy/reference semantics.
+    """
+    q = (audio * 32767.0).astype(jnp.int32)
+    q = ((q + 32768) % 65536) - 32768
+    return q.astype(jnp.float32) / 32767.0
 
 
 def clap_logmel_batch(padded_wave: jnp.ndarray) -> jnp.ndarray:

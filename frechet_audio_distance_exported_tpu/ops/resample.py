@@ -62,10 +62,9 @@ def resample(
         raise ValueError(f"Invalid sample rate: sr_orig={sr_orig}")
     if sr_new <= 0:
         raise ValueError(f"Invalid sample rate: sr_new={sr_new}")
+    x = np.asarray(x)
     if sr_orig == sr_new:
         return x
-
-    x = np.asarray(x)
     if x.ndim == 1:
         return _resample_1d(x, sr_orig, sr_new, filter)
     x_moved = np.moveaxis(x, axis, 0)

@@ -144,7 +144,12 @@ class EmbeddingPipeline:
             self._min_batch = n
 
     def _bucket_batch(self, n: int) -> int:
-        return max(bucket_batch(n, self.file_batch), self._min_batch)
+        # Round up to a multiple of the mesh size: power-of-two buckets alone
+        # are not divisible by non-power-of-two meshes and device_put would
+        # reject the sharding.
+        from .parallel.mesh import pad_to_shards
+
+        return pad_to_shards(bucket_batch(n, self.file_batch), self._min_batch)
 
     def _to_device(self, arr: np.ndarray):
         """Host batch -> device array (sharded over 'data' when a mesh is set;
@@ -405,7 +410,11 @@ class EmbeddingPipeline:
                 data = (data * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
                 if sr != fe.CLAP_SAMPLE_RATE:
                     data = resample(data, sr, fe.CLAP_SAMPLE_RATE).astype(np.float32)
-                prepped.append(fe.reflect_pad_host(data, n_fft))
+                # Frames beyond the (resampled) signal must be 0.0 rows like
+                # the reference's mel zero-pad (fad.py:69-91) — relevant when
+                # sr > 48 kHz shrinks the padded waveform below 10 s.
+                n_valid = min(fe.CLAP_TIME_FRAMES, fe.pann_num_frames(len(data), 480))
+                prepped.append((fe.reflect_pad_host(data, n_fft), n_valid))
             except Exception as e:
                 if strict:
                     raise
@@ -416,7 +425,7 @@ class EmbeddingPipeline:
         for i, item in enumerate(prepped):
             if item is None:
                 continue
-            groups.setdefault(bucket_len(len(item)), []).append(i)
+            groups.setdefault(bucket_len(len(item[0])), []).append(i)
 
         per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
         pending = []
@@ -425,10 +434,14 @@ class EmbeddingPipeline:
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
                 b = self._bucket_batch(len(chunk_idx))
                 wave = np.zeros((b, s_bucket), dtype=np.float32)
+                n_valid = np.zeros((b,), dtype=np.int32)
                 for row, i in enumerate(chunk_idx):
-                    wave[row, : len(prepped[i])] = prepped[i]
+                    padded, valid = prepped[i]
+                    wave[row, : len(padded)] = padded
+                    n_valid[row] = valid
                 log_mel = fe.pann_logmel_batch(
-                    self._to_device(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES
+                    self._to_device(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES,
+                    jnp.asarray(n_valid),
                 )
                 emb_dev = self._forward(self.params, log_mel)
                 if sink is not None:

@@ -95,3 +95,48 @@ class TestCLAPEdges:
         # quantization noise dominates (expected, matches the reference).
         strong = nq > -20.0
         np.testing.assert_allclose(q[strong], nq[strong], atol=0.1)
+
+
+class TestReviewRegressions:
+    def test_resample_identity_coerces_to_array(self):
+        from frechet_audio_distance_exported_tpu.ops.resample import resample
+
+        out = resample([0.1, 0.2, 0.3], 16000, 16000)
+        assert isinstance(out, np.ndarray)
+
+    def test_clap_quantize_wraps_like_numpy_for_clipped_audio(self):
+        """|x| > 1.0 wraps modulo 2^16 like the reference's numpy cast."""
+        x = np.array([1.5, -1.5, 0.5, 1.0], np.float32)
+        expected = (x * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
+        got = np.asarray(fe.clap_quantize(x))
+        np.testing.assert_allclose(got, expected, atol=2e-7)
+
+    def test_clap_high_sr_frames_zeroed(self):
+        """sr > 48k: mel rows beyond the resampled signal are 0.0 (the
+        reference's _pad_to_clap_time zero-pad), not -100 dB."""
+        from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+        fad = FrechetAudioDistance(model_name="clap", weights="random")
+        sr = 96000
+        t = np.arange(int(sr * 4.0)) / sr
+        audio = (np.sin(2 * np.pi * 440 * t) * 0.5).astype(np.float32)
+        # Reach into the prep to check the zeroing itself.
+        prepped_emb = fad.get_embeddings([audio], sr)
+        assert prepped_emb.shape == (1, 512)
+        # Direct frontend check: valid count is ~501 of 1001.
+        from frechet_audio_distance_exported_tpu.ops.resample import resample
+        from frechet_audio_distance_exported_tpu.ops import frontends as f2
+
+        padded = np.pad(audio, (0, 480000 - len(audio)))
+        q = (padded * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
+        res = resample(q, sr, 48000).astype(np.float32)
+        n_valid = min(1001, f2.pann_num_frames(len(res), 480))
+        assert n_valid == 1 + len(res) // 480 < 1001
+        import jax.numpy as jnp
+
+        mel = f2.pann_logmel_batch(
+            jnp.asarray(f2.reflect_pad_host(res, 1024))[None], 48000, 1001,
+            jnp.asarray([n_valid]),
+        )
+        tail = np.asarray(mel[0, n_valid:])
+        np.testing.assert_array_equal(tail, 0.0)

@@ -44,3 +44,21 @@ def test_mesh_device_stats_score(tmp_path, sine_audio):
     fad_mesh.pipeline.set_mesh(mesh_mod.data_mesh())
     mesh_score = fad_mesh.score(str(bg), str(ev), device_stats=True)
     assert mesh_score == pytest.approx(host_score, rel=0.05, abs=1e-7)
+
+
+def test_non_power_of_two_mesh(sine_audio):
+    """Batch buckets must stay divisible by non-power-of-two mesh sizes
+    (3 of the 8 virtual devices)."""
+    import jax
+
+    from frechet_audio_distance_exported_tpu.parallel.mesh import data_mesh
+
+    fad = FrechetAudioDistance(model_name="pann-16k", weights="random")
+    clips = [sine_audio(1.0, 440.0 + 10 * i) for i in range(5)]
+    single = fad.get_embeddings(clips, 16000)
+
+    fad3 = FrechetAudioDistance(model_name="pann-16k", weights="random")
+    fad3.pipeline.set_mesh(data_mesh(jax.devices()[:3]))
+    sharded = fad3.get_embeddings(clips, 16000)
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
