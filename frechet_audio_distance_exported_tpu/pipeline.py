@@ -264,6 +264,13 @@ class EmbeddingPipeline:
             return None
         return np.concatenate([np.asarray(o) for o in outs], axis=0)
 
+    def _drain_pending(self, pending, per_file, trim):
+        """Materialize deferred device chunks; trim(emb, row, file_idx) -> rows."""
+        for chunk_idx, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, i in enumerate(chunk_idx):
+                per_file[i] = trim(emb, row, i)
+
     # ------------------------------------------------------------------
     # VGGish
     # ------------------------------------------------------------------
@@ -384,10 +391,7 @@ class EmbeddingPipeline:
                     pending.append((chunk_idx, emb_dev))
                 self._tick(len(chunk_idx))
         # Convert after all dispatches so XLA execution overlaps host packing.
-        for chunk_idx, emb_dev in pending:
-            emb = np.asarray(emb_dev)
-            for row, i in enumerate(chunk_idx):
-                per_file[i] = emb[row : row + 1]
+        self._drain_pending(pending, per_file, lambda emb, row, i: emb[row : row + 1])
         return per_file
 
     # ------------------------------------------------------------------
@@ -451,10 +455,7 @@ class EmbeddingPipeline:
                 else:
                     pending.append((chunk_idx, emb_dev))
                 self._tick(len(chunk_idx))
-        for chunk_idx, emb_dev in pending:
-            emb = np.asarray(emb_dev)
-            for row, i in enumerate(chunk_idx):
-                per_file[i] = emb[row : row + 1]
+        self._drain_pending(pending, per_file, lambda emb, row, i: emb[row : row + 1])
         return per_file
 
     # ------------------------------------------------------------------
@@ -514,10 +515,7 @@ class EmbeddingPipeline:
             else:
                 pending.append((chunk_idx, emb_dev))
             self._tick(len(chunk_idx))
-        for chunk_idx, emb_dev in pending:
-            emb = np.asarray(emb_dev)
-            for row, i in enumerate(chunk_idx):
-                per_file[i] = emb[row, : prepped[i][1]]
+        self._drain_pending(pending, per_file, lambda emb, row, i: emb[row, : prepped[i][1]])
         return per_file
 
     def _log_skip(self, e: Exception) -> None:

@@ -277,3 +277,53 @@ def test_clap_mapping_shapes():
     out = np.asarray(clap_forward(params, x))
     assert out.shape == (1, 512)
     np.testing.assert_allclose(np.linalg.norm(out, axis=1), 1.0, rtol=1e-5)
+
+
+def test_extract_cli_end_to_end(tmp_path, monkeypatch):
+    """tools/extract_weights.py CLI: artifact in ckpt-dir -> saved npz bundle
+    loadable by the weight store."""
+    import subprocess
+    import sys as _sys
+
+    sd = {}
+    chans = [(1, 64), (64, 128), (128, 256), (256, 512), (512, 1024), (1024, 2048)]
+    g = torch.Generator().manual_seed(9)
+    sd["bn0.weight"] = torch.rand(64, generator=g) + 0.5
+    sd["bn0.bias"] = torch.rand(64, generator=g)
+    sd["bn0.running_mean"] = torch.rand(64, generator=g)
+    sd["bn0.running_var"] = torch.rand(64, generator=g) + 0.5
+    for i, (cin, cout) in enumerate(chans, start=1):
+        sd[f"conv_block{i}.conv1.weight"] = torch.randn(cout, cin, 3, 3, generator=g) * 0.02
+        sd[f"conv_block{i}.conv2.weight"] = torch.randn(cout, cout, 3, 3, generator=g) * 0.02
+        for bn in ("bn1", "bn2"):
+            sd[f"conv_block{i}.{bn}.weight"] = torch.rand(cout, generator=g) + 0.5
+            sd[f"conv_block{i}.{bn}.bias"] = torch.rand(cout, generator=g)
+            sd[f"conv_block{i}.{bn}.running_mean"] = torch.rand(cout, generator=g)
+            sd[f"conv_block{i}.{bn}.running_var"] = torch.rand(cout, generator=g) + 0.5
+    sd["fc1.weight"] = torch.randn(2048, 2048, generator=g) * 0.01
+    sd["fc1.bias"] = torch.randn(2048, generator=g) * 0.1
+    torch.save({"model": sd}, str(tmp_path / "pann_cnn14_16k_exported.pt2"))
+    # The CLI treats .pth as upstream; use --artifact to point at our file but
+    # exercise main() via the module API for speed.
+    import tools.extract_weights as ewm
+
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["extract_weights.py", "--model", "pann-16k", "--ckpt-dir", str(tmp_path),
+         "--artifact", str(tmp_path / "pann_cnn14_16k_exported.pt2")],
+    )
+    # .pt2 path goes through torch.export.load which this fake file is not;
+    # route via the .pth branch instead by renaming.
+    (tmp_path / "pann_cnn14_16k_exported.pt2").rename(tmp_path / "cnn14.pth")
+    monkeypatch.setattr(
+        _sys, "argv",
+        ["extract_weights.py", "--model", "pann-16k", "--ckpt-dir", str(tmp_path),
+         "--artifact", str(tmp_path / "cnn14.pth")],
+    )
+    ewm.main()
+    from frechet_audio_distance_exported_tpu.utils.weights import load_weights
+    from frechet_audio_distance_exported_tpu.models.pann import pann_forward
+
+    params = load_weights(str(tmp_path / "pann_cnn14_16k_tpu.npz"))
+    out = pann_forward(params, np.zeros((1, 104, 64), np.float32))
+    assert out.shape == (1, 2048)
