@@ -327,3 +327,41 @@ def test_extract_cli_end_to_end(tmp_path, monkeypatch):
     params = load_weights(str(tmp_path / "pann_cnn14_16k_tpu.npz"))
     out = pann_forward(params, np.zeros((1, 104, 64), np.float32))
     assert out.shape == (1, 2048)
+
+
+@pytest.mark.slow
+def test_auto_convert_artifact_in_ckpt_dir(tmp_path):
+    """Drop a reference-named .pt2 artifact into ckpt_dir: the weight store
+    converts it on first use and FrechetAudioDistance scores with it
+    (the runtime mirror of the reference's download-on-miss flow)."""
+    import os
+
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+    from frechet_audio_distance_exported_tpu.utils.audio_io import write_wav
+
+    torch.manual_seed(5)
+    model = _build_torch_vggish().eval()
+    exported = torch.export.export(model, (torch.randn(2, 1, 96, 64),))
+    torch.export.save(exported, str(tmp_path / "vggish_exported.pt2"))
+
+    fad = FrechetAudioDistance(ckpt_dir=str(tmp_path), model_name="vggish")
+    assert os.path.exists(tmp_path / "vggish_tpu.npz")  # bundle cached
+
+    t = np.linspace(0, 2.0, 32000, dtype=np.float32)
+    bg, ev = tmp_path / "bg", tmp_path / "ev"
+    os.makedirs(bg)
+    os.makedirs(ev)
+    for i in range(2):
+        write_wav(str(bg / f"{i}.wav"), np.sin(2 * np.pi * (440 + 5 * i) * t) * 0.5, 16000)
+        write_wav(str(ev / f"{i}.wav"), np.sin(2 * np.pi * (880 + 5 * i) * t) * 0.5, 16000)
+    score = fad.score(str(bg), str(ev))
+    assert np.isfinite(score) and score > 0
+
+    # And the embeddings equal the torch artifact's own outputs.
+    x = np.random.default_rng(2).standard_normal((2, 96, 64)).astype(np.float32)
+    from frechet_audio_distance_exported_tpu.models.vggish import vggish_forward
+
+    ours = np.asarray(vggish_forward(fad.params, x))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x[:, None])).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
