@@ -135,3 +135,22 @@ class TestFrechetJax:
         )
         assert np.isfinite(got)
         assert abs(got - ref) / abs(ref) < 5e-2, (got, ref)
+
+
+class TestEighHostEpilogue:
+    @pytest.mark.parametrize("d,n", [(16, 100), (64, 20), (256, 100)])
+    def test_matches_scipy_f64(self, d, n):
+        rng = np.random.default_rng(d + n)
+        x1 = rng.standard_normal((n, d)) * 0.8 + 0.3
+        x2 = rng.standard_normal((n, d)) * 1.1
+        mu1, s1 = x1.mean(0), np.cov(x1, rowvar=False)
+        mu2, s2 = x2.mean(0), np.cov(x2, rowvar=False)
+        ref = st.frechet_distance_np(mu1, s1, mu2, s2)
+        got = st.frechet_distance_eigh_np(mu1, s1, mu2, s2)
+        assert abs(got - ref) / max(abs(ref), 1e-9) < 1e-6, (got, ref)
+
+    def test_identical_zero(self):
+        rng = np.random.default_rng(0)
+        x = rng.standard_normal((50, 32))
+        mu, s = x.mean(0), np.cov(x, rowvar=False)
+        assert abs(st.frechet_distance_eigh_np(mu, s, mu, s)) < 1e-9
