@@ -332,28 +332,17 @@ class EmbeddingPipeline:
     # PANN
     # ------------------------------------------------------------------
 
-    def _embed_pann(self, audio_list, sr, strict, sink=None):
-        target_sr = self.cfg.sample_rate
-        cfg = fe.PANN_CONFIGS[target_sr]
-        n_fft, hop = cfg["window_size"], cfg["hop_size"]
+    def _embed_mel_cnn(self, audio_list, strict, sink, prep_fn, group_key_fn, plan_fn):
+        """Shared scaffold for the mel-frontend CNN families (PANN, CLAP).
 
+        prep_fn(audio) -> (reflect_padded_wave, n_valid_frames)
+        group_key_fn(item) -> static-shape group key
+        plan_fn(key) -> (buffer_len, target_sample_rate, num_frames)
+        """
         prepped: List[Optional[Tuple[np.ndarray, int]]] = []
         for audio in audio_list:
             try:
-                data = np.asarray(audio)
-                if data.ndim > 1:
-                    data = np.mean(data, axis=1)
-                if sr != target_sr:
-                    data = resample(data, sr, target_sr)
-                data = data.astype(np.float32)
-                t_i = fe.pann_num_frames(len(data), hop)
-                t_grid = fe.pann_valid_time(t_i)
-                if t_grid < 40:
-                    # The CNN needs time/32 >= 1 after five floor-halving pools;
-                    # the torch reference errors out on such inputs too.
-                    raise ValueError(f"Audio too short for PANN (grid {t_grid} < 40 frames)")
-                padded = fe.reflect_pad_host(data, n_fft)
-                prepped.append((padded, t_i))
+                prepped.append(prep_fn(np.asarray(audio)))
             except Exception as e:
                 if strict:
                     raise
@@ -364,23 +353,23 @@ class EmbeddingPipeline:
         for i, item in enumerate(prepped):
             if item is None:
                 continue
-            groups.setdefault(fe.pann_valid_time(item[1]), []).append(i)
+            groups.setdefault(group_key_fn(item), []).append(i)
 
         per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
         pending = []
-        for t_grid, idxs in sorted(groups.items()):
-            length = t_grid * hop + n_fft  # covers every member's padded signal
+        for key, idxs in sorted(groups.items()):
+            length, target_sr, num_frames = plan_fn(key)
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
                 b = self._bucket_batch(len(chunk_idx))
                 wave = np.zeros((b, length), dtype=np.float32)
                 n_valid = np.zeros((b,), dtype=np.int32)
                 for row, i in enumerate(chunk_idx):
-                    padded, t_i = prepped[i]
+                    padded, valid = prepped[i]
                     wave[row, : len(padded)] = padded
-                    n_valid[row] = t_i
+                    n_valid[row] = valid
                 log_mel = fe.pann_logmel_batch(
-                    self._to_device(wave), target_sr, t_grid, jnp.asarray(n_valid)
+                    self._to_device(wave), target_sr, num_frames, jnp.asarray(n_valid)
                 )
                 emb_dev = self._forward(self.params, log_mel)
                 if sink is not None:
@@ -394,69 +383,64 @@ class EmbeddingPipeline:
         self._drain_pending(pending, per_file, lambda emb, row, i: emb[row : row + 1])
         return per_file
 
+    def _embed_pann(self, audio_list, sr, strict, sink=None):
+        target_sr = self.cfg.sample_rate
+        cfg = fe.PANN_CONFIGS[target_sr]
+        n_fft, hop = cfg["window_size"], cfg["hop_size"]
+
+        def prep(data):
+            if data.ndim > 1:
+                data = np.mean(data, axis=1)
+            if sr != target_sr:
+                data = resample(data, sr, target_sr)
+            data = data.astype(np.float32)
+            t_i = fe.pann_num_frames(len(data), hop)
+            if fe.pann_valid_time(t_i) < 40:
+                # The CNN needs time/32 >= 1 after five floor-halving pools;
+                # the torch reference errors out on such inputs too.
+                raise ValueError(
+                    f"Audio too short for PANN (grid {fe.pann_valid_time(t_i)} < 40 frames)"
+                )
+            return fe.reflect_pad_host(data, n_fft), t_i
+
+        return self._embed_mel_cnn(
+            audio_list, strict, sink,
+            prep_fn=prep,
+            # The 32k-24 grid is observable in the embedding: never mix grids.
+            group_key_fn=lambda item: fe.pann_valid_time(item[1]),
+            plan_fn=lambda t_grid: (t_grid * hop + n_fft, target_sr, t_grid),
+        )
+
     # ------------------------------------------------------------------
     # CLAP
     # ------------------------------------------------------------------
 
     def _embed_clap(self, audio_list, sr, strict, sink=None):
         n_fft = fe.PANN_CONFIGS[fe.CLAP_SAMPLE_RATE]["window_size"]
-        prepped: List[Optional[np.ndarray]] = []
-        for audio in audio_list:
-            try:
-                data = np.asarray(audio)
-                if data.ndim > 1:
-                    data = np.mean(data, axis=1)
-                # Pad the *waveform* to 10 s before the mel (reference:
-                # fad.py:354-359), then quantize (zeros are fixed points).
-                if len(data) < fe.CLAP_MAX_SAMPLES:
-                    data = np.pad(data, (0, fe.CLAP_MAX_SAMPLES - len(data)))
-                data = data.astype(np.float32)
-                data = (data * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
-                if sr != fe.CLAP_SAMPLE_RATE:
-                    data = resample(data, sr, fe.CLAP_SAMPLE_RATE).astype(np.float32)
-                # Frames beyond the (resampled) signal must be 0.0 rows like
-                # the reference's mel zero-pad (fad.py:69-91) — relevant when
-                # sr > 48 kHz shrinks the padded waveform below 10 s.
-                n_valid = min(fe.CLAP_TIME_FRAMES, fe.pann_num_frames(len(data), 480))
-                prepped.append((fe.reflect_pad_host(data, n_fft), n_valid))
-            except Exception as e:
-                if strict:
-                    raise
-                self._log_skip(e)
-                prepped.append(None)
 
-        groups: Dict[int, List[int]] = {}
-        for i, item in enumerate(prepped):
-            if item is None:
-                continue
-            groups.setdefault(bucket_len(len(item[0])), []).append(i)
+        def prep(data):
+            if data.ndim > 1:
+                data = np.mean(data, axis=1)
+            # Pad the *waveform* to 10 s before the mel (reference:
+            # fad.py:354-359), then quantize (zeros are fixed points).
+            if len(data) < fe.CLAP_MAX_SAMPLES:
+                data = np.pad(data, (0, fe.CLAP_MAX_SAMPLES - len(data)))
+            data = data.astype(np.float32)
+            data = (data * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
+            if sr != fe.CLAP_SAMPLE_RATE:
+                data = resample(data, sr, fe.CLAP_SAMPLE_RATE).astype(np.float32)
+            # Frames beyond the (resampled) signal must be 0.0 rows like the
+            # reference's mel zero-pad (fad.py:69-91) — relevant when
+            # sr > 48 kHz shrinks the padded waveform below 10 s.
+            n_valid = min(fe.CLAP_TIME_FRAMES, fe.pann_num_frames(len(data), 480))
+            return fe.reflect_pad_host(data, n_fft), n_valid
 
-        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
-        pending = []
-        for s_bucket, idxs in sorted(groups.items()):
-            for c0 in range(0, len(idxs), self.file_batch):
-                chunk_idx = idxs[c0 : c0 + self.file_batch]
-                b = self._bucket_batch(len(chunk_idx))
-                wave = np.zeros((b, s_bucket), dtype=np.float32)
-                n_valid = np.zeros((b,), dtype=np.int32)
-                for row, i in enumerate(chunk_idx):
-                    padded, valid = prepped[i]
-                    wave[row, : len(padded)] = padded
-                    n_valid[row] = valid
-                log_mel = fe.pann_logmel_batch(
-                    self._to_device(wave), fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES,
-                    jnp.asarray(n_valid),
-                )
-                emb_dev = self._forward(self.params, log_mel)
-                if sink is not None:
-                    sink(emb_dev[: len(chunk_idx)], None)
-                    for i in chunk_idx:
-                        per_file[i] = 1
-                else:
-                    pending.append((chunk_idx, emb_dev))
-                self._tick(len(chunk_idx))
-        self._drain_pending(pending, per_file, lambda emb, row, i: emb[row : row + 1])
-        return per_file
+        return self._embed_mel_cnn(
+            audio_list, strict, sink,
+            prep_fn=prep,
+            group_key_fn=lambda item: bucket_len(len(item[0])),
+            plan_fn=lambda s_bucket: (s_bucket, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES),
+        )
 
     # ------------------------------------------------------------------
     # Encodec
