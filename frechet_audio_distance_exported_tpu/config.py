@@ -31,16 +31,15 @@ def matmul_precision() -> jax.lax.Precision:
 
 def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA compilations across processes (first TPU compile of each
-    shape bucket costs tens of seconds; the cache amortizes it). Also enabled
-    automatically when FAD_TPU_COMPILE_CACHE names a directory."""
+    shape bucket costs tens of seconds; the cache amortizes it). Called
+    lazily from FrechetAudioDistance.__init__ (NOT at import time — a
+    library must not mutate global jax.config as an import side effect);
+    enabled when FAD_TPU_COMPILE_CACHE names a directory or a path is given."""
     path = path or os.environ.get("FAD_TPU_COMPILE_CACHE")
     if not path:
         return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-
-enable_compilation_cache()
 
 
 def model_dtype():

@@ -101,6 +101,10 @@ class FrechetAudioDistance:
 
         import jax
 
+        from .config import enable_compilation_cache
+
+        enable_compilation_cache()
+
         self.device = jax.devices()[0]
         if self.verbose:
             print(f"[FAD-TPU] Using device: {self.device}")
@@ -199,6 +203,13 @@ class FrechetAudioDistance:
         try:
             if device_stats and not background_embds_path and not eval_embds_path:
                 return self._score_device_stats(background_dir, eval_dir, dtype)
+            if device_stats:
+                print(
+                    "[FAD-TPU] Warning: device_stats=True is incompatible with "
+                    "background_embds_path/eval_embds_path (streamed statistics "
+                    "never materialize embeddings); falling back to the host-"
+                    "stats path with .npy caching."
+                )
             if background_embds_path and os.path.exists(background_embds_path):
                 if self.verbose:
                     print(f"[FAD-TPU] Loading embeddings from {background_embds_path}...")

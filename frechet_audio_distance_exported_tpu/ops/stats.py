@@ -151,8 +151,20 @@ def frechet_distance_np(
     sigma2: np.ndarray,
     eps: float = 1e-6,
 ) -> float:
-    """Reference-exact host path (reference: fad.py:498-555)."""
-    from scipy import linalg
+    """Reference-exact host path (reference: fad.py:498-555).
+
+    Falls back to the eigh route (same math, ~1e-7 relative agreement) if
+    scipy is not installed, rather than letting the ImportError be swallowed
+    into the public API's -1 sentinel.
+    """
+    try:
+        from scipy import linalg
+    except ImportError:
+        print(
+            "[FAD-TPU] scipy not installed; using the eigh-based Fréchet "
+            "distance (agrees with scipy.linalg.sqrtm to ~1e-7 relative)"
+        )
+        return frechet_distance_eigh_np(mu1, sigma1, mu2, sigma2, eps=eps)
 
     mu1 = np.atleast_1d(mu1)
     mu2 = np.atleast_1d(mu2)

@@ -284,10 +284,6 @@ class EmbeddingPipeline:
                     data = np.mean(data, axis=1)
                 if sr != fe.VGGISH_SAMPLE_RATE:
                     data = resample(data, sr, fe.VGGISH_SAMPLE_RATE)
-                if fe.vggish_num_patches(len(data)) == 0:
-                    raise ValueError(
-                        f"Audio too short for VGGish ({len(data)} samples < 0.96 s)"
-                    )
                 prepped.append(data.astype(np.float32))
             except Exception as e:
                 if strict:
@@ -296,13 +292,22 @@ class EmbeddingPipeline:
                 prepped.append(None)
 
         # Group by waveform bucket; compute patches per group.
+        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
         groups: Dict[int, List[int]] = {}
         for i, data in enumerate(prepped):
             if data is None:
                 continue
+            if fe.vggish_num_patches(len(data)) == 0:
+                # Audio shorter than one 0.96 s patch: zero rows, like the
+                # reference's tail-dropping framing (models/vggish.py:263-271
+                # yields an empty [0, 128] embedding, not an error).
+                per_file[i] = (
+                    0 if sink is not None
+                    else np.zeros((0, self.cfg.embedding_dim), np.float32)
+                )
+                self._tick(1)
+                continue
             groups.setdefault(bucket_len(len(data)), []).append(i)
-
-        per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
         for s_bucket, idxs in sorted(groups.items()):
             p_max = fe.vggish_num_patches(s_bucket)
             for c0 in range(0, len(idxs), self.file_batch):

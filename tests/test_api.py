@@ -120,8 +120,10 @@ class TestEndToEndVGGish:
         # 2.0 s -> 198 frames -> 2 complete patches (like the reference).
         out = fad._get_embedding_for_audio(sine_audio(2.0, 440.0))
         assert out.shape == (2, 128)
-        with pytest.raises(Exception):
-            fad._get_embedding_for_audio(sine_audio(0.1, 440.0))
+        # <0.96 s -> zero patches -> empty [0, 128], matching the reference
+        # hook (waveform_to_examples yields zero patches, not an error).
+        out = fad._get_embedding_for_audio(sine_audio(0.1, 440.0))
+        assert out.shape == (0, 128)
 
     def test_embedding_caching(self, fad, tmp_path_factory):
         bg = str(tmp_path_factory.mktemp("bgc"))
