@@ -47,6 +47,29 @@ WEIGHT_FILENAMES = {
     "clap": "clap_tpu.npz",
 }
 
+# GitHub release URLs of the reference torch artifacts (reference:
+# fad.py:95-106, EXPORTED_MODEL_URLS). On a weight-bundle cache miss, the
+# artifact is downloaded here and converted in-process to .npz
+# (requires torch for the one-time conversion).
+EXPORTED_MODEL_URLS = {
+    "vggish": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.1/vggish_exported.pt2",
+    "pann-8k": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.2/pann_cnn14_8k_exported.pt2",
+    "pann-16k": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.2/pann_cnn14_16k_exported.pt2",
+    "pann-32k": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.2/pann_cnn14_32k_exported.pt2",
+    "encodec-24k": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.3/encodec_24k_exported.pt",
+    "encodec-48k": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.3/encodec_48k_exported.pt",
+    "clap": "https://github.com/gibiansky/frechet-audio-distance-exported/releases/download/v0.3/clap_exported.pt2",
+}
+
+# Optional sha256 pins for downloaded artifacts, verified when set (the
+# reference does no integrity checking; empty entries skip verification).
+EXPORTED_MODEL_SHA256: dict = {}
+
+# Direct URLs for pre-converted .npz weight bundles (torch-free install
+# path). Checked before EXPORTED_MODEL_URLS; none hosted yet — populate
+# when bundles are published, or point at a private mirror via code.
+WEIGHT_BUNDLE_URLS: dict = {}
+
 # The reference torch artifacts these weight bundles are converted from
 # (reference: fad.py:95-106, fad.py:252-270). tools/extract_weights.py
 # consumes these when present in ckpt_dir.

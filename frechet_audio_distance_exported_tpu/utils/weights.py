@@ -89,9 +89,12 @@ def init_random_params(model_name: str, seed: int = 0):
 def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int = 0):
     """Resolve params for a model.
 
-    weights='auto': load <ckpt_dir>/<bundle>.npz; if absent but the reference
-    torch artifact is present in ckpt_dir, convert it in-process (requires
-    torch, dev-time only); otherwise raise with instructions.
+    weights='auto': load <ckpt_dir>/<bundle>.npz; on a miss, try in order —
+    a hosted .npz bundle URL (registry.WEIGHT_BUNDLE_URLS), a reference
+    torch artifact already in ckpt_dir, downloading the reference artifact
+    (registry.EXPORTED_MODEL_URLS, the reference's download-on-miss
+    semantics, reference: fad.py:275-286) — converting artifacts in-process
+    (requires torch, one-time); otherwise raise with instructions.
     weights='random': torch-default-like random init (tests/benches).
     """
     if weights == "random":
@@ -102,7 +105,34 @@ def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int 
     if os.path.exists(bundle_path):
         return load_weights(bundle_path)
 
+    from . import download as dl
+
+    download_errors = []
+    bundle_url = registry.WEIGHT_BUNDLE_URLS.get(model_name)
+    if bundle_url and not dl.offline():
+        try:
+            print(f"[FAD-TPU] Downloading {model_name} weight bundle to {ckpt_dir}...")
+            dl.download_url_to_file(bundle_url, bundle_path)
+            return load_weights(bundle_path)
+        except Exception as e:  # fall through to the artifact path
+            download_errors.append(f"bundle {bundle_url}: {e}")
+
     artifact_path = os.path.join(ckpt_dir, cfg.reference_artifact)
+    if not os.path.exists(artifact_path):
+        artifact_url = registry.EXPORTED_MODEL_URLS.get(model_name)
+        if artifact_url and not dl.offline():
+            try:
+                print(
+                    f"[FAD-TPU] Downloading {model_name} reference artifact to {ckpt_dir}..."
+                )
+                dl.download_url_to_file(
+                    artifact_url,
+                    artifact_path,
+                    sha256=registry.EXPORTED_MODEL_SHA256.get(model_name),
+                )
+                print("[FAD-TPU] Download complete.")
+            except Exception as e:
+                download_errors.append(f"artifact {artifact_url}: {e}")
     if os.path.exists(artifact_path):
         try:
             from importlib import import_module
@@ -119,9 +149,14 @@ def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int 
         save_weights(bundle_path, params)
         return params
 
+    detail = ""
+    if dl.offline():
+        detail = " Downloads are disabled (FAD_TPU_OFFLINE is set)."
+    elif download_errors:
+        detail = " Download attempts failed: " + "; ".join(download_errors) + "."
     raise FileNotFoundError(
         f"Weight bundle not found at {bundle_path} and no reference artifact "
-        f"({cfg.reference_artifact}) to convert in {ckpt_dir}. Run "
+        f"({cfg.reference_artifact}) to convert in {ckpt_dir}.{detail} Run "
         f"tools/extract_weights.py --model {model_name} --ckpt-dir {ckpt_dir} "
         f"(requires the reference artifact and torch), or pass weights='random' "
         f"for testing."

@@ -7,6 +7,7 @@ TPU; tests are deterministic on CPU.
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.setdefault("FAD_TPU_OFFLINE", "1")  # hermetic: never hit the network
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
