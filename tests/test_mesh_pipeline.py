@@ -43,7 +43,9 @@ def test_mesh_device_stats_score(tmp_path, sine_audio):
     fad_mesh = FrechetAudioDistance(model_name="vggish", weights="random")
     fad_mesh.pipeline.set_mesh(mesh_mod.data_mesh())
     mesh_score = fad_mesh.score(str(bg), str(ev), device_stats=True)
-    assert mesh_score == pytest.approx(host_score, rel=0.05, abs=1e-7)
+    # Shift-stabilized f32 streaming vs host f64: must sit inside the <=1e-3
+    # parity bar, not merely "close".
+    assert mesh_score == pytest.approx(host_score, rel=1e-3, abs=1e-7)
 
 
 def test_non_power_of_two_mesh(sine_audio):

@@ -29,13 +29,17 @@ def test_sharded_stats_match_single_chip(vggish_params):
     mask = jnp.ones((b,)).at[-3:].set(0.0)
 
     fn = embed.make_sharded_embed_stats(m, vggish_forward)
-    n, s, ss = fn(vggish_params, x, mask)
+    state_sh = fn(vggish_params, x, mask)
 
+    # Compare finalized (mu, sigma) — the sharded accumulator centers at the
+    # global mean internally, so raw sums are shift-relative.
+    mu_sh, sig_sh = st.finalize_stats(state_sh)
     emb = vggish_forward(vggish_params, x)
     state = st.update_stats(st.init_stats(128), emb, mask)
-    np.testing.assert_allclose(float(n), float(state.n))
-    np.testing.assert_allclose(np.asarray(s), np.asarray(state.s), rtol=1e-5, atol=1e-4)
-    np.testing.assert_allclose(np.asarray(ss), np.asarray(state.ss), rtol=1e-4, atol=1e-3)
+    mu_1c, sig_1c = st.finalize_stats(state)
+    np.testing.assert_allclose(float(state_sh.n), float(state.n))
+    np.testing.assert_allclose(np.asarray(mu_sh), np.asarray(mu_1c), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(sig_sh), np.asarray(sig_1c), rtol=1e-4, atol=1e-5)
 
 
 def test_sharded_score_step_matches_host():
@@ -65,4 +69,6 @@ def test_sharded_score_step_matches_host():
         e1.mean(0), np.cov(e1, rowvar=False), e2.mean(0), np.cov(e2, rowvar=False)
     )
     assert ref > 0.1  # meaningful scale
-    assert abs(fused - ref) / ref < 2e-2, (fused, ref)
+    # Mean-centered sharded accumulation + f32 eigh epilogue: inside the
+    # <=1e-3 parity bar (was 2e-2 with the shift=0 accumulator).
+    assert abs(fused - ref) / ref < 1e-3, (fused, ref)
