@@ -1,13 +1,19 @@
-"""Benchmark: VGGish embedding throughput (audio-min/sec/chip) on TPU vs the
-reference's CPU-torch execution model.
+"""Benchmarks on the real TPU chip.
 
-The reference publishes no benchmarks (BASELINE.md); the north-star target is
->= 10x the CPU torch VGGish embedding throughput (BASELINE.json). The
-baseline measured here is a CPU torch forward of the identical VGGish
-architecture (what torch.export executes under the reference), on this
-machine; `vs_baseline` is ours/theirs.
+Driver mode (no args): prints ONE JSON line — the flagship VGGish embedding
+throughput (audio-min/sec/chip) vs a CPU-torch baseline of the identical
+architecture (the reference's execution model; it publishes no numbers of
+its own, BASELINE.md).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Extended modes (logged to stderr, VERDICT r1 #5):
+  python bench.py --families   # per-family jitted-step throughput
+                               # (vggish, pann-16k, clap, encodec-24k)
+  python bench.py --e2e        # warm end-to-end score() throughput per family
+
+Timing notes: block_until_ready lies through the axon tunnel, so every
+measurement forces a device->host materialization (np.asarray), 2-deep
+pipelined so result transfer overlaps the next step's compute — the same
+deferred-materialization pattern the production pipeline uses.
 """
 
 from __future__ import annotations
@@ -15,15 +21,31 @@ from __future__ import annotations
 import json
 import sys
 import time
+from collections import deque
 
 sys.path.insert(0, ".")
 
 CLIP_SECONDS = 10.0
-FILES_PER_STEP = 256  # measured on v5e: throughput still scaling at 256 clips/step
 PATCH_SECONDS = 0.96
 
 
-def bench_tpu():
+def _time_step(step_fn, args, n_iters=6, depth=2):
+    """Seconds per step with deferred materialization (see module docstring)."""
+    import numpy as np
+
+    np.asarray(step_fn(*args))  # compile + warmup
+    queue = deque()
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        queue.append(step_fn(*args))
+        if len(queue) >= depth:
+            np.asarray(queue.popleft())
+    while queue:
+        np.asarray(queue.popleft())
+    return (time.perf_counter() - t0) / n_iters
+
+
+def bench_vggish(files_per_step=256):
     import jax
     import jax.numpy as jnp
 
@@ -42,33 +64,115 @@ def bench_tpu():
         patches = fe.vggish_patches_batch(wave, num_patches)
         return vggish_forward(params, patches.reshape(-1, 96, 64))
 
-    from collections import deque
+    wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, s), jnp.float32) * 0.1
+    dt = _time_step(step, (params, wave))
+    patches_per_sec = files_per_step * num_patches / dt
+    return patches_per_sec * PATCH_SECONDS / 60.0
+
+
+def bench_pann16k(files_per_step=32):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frechet_audio_distance_exported_tpu.models.pann import init_pann_params, pann_forward
+    from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+    params = init_pann_params(jax.random.PRNGKey(0))
+    sr = 16000
+    cfg = fe.PANN_CONFIGS[sr]
+    n_fft, hop = cfg["window_size"], cfg["hop_size"]
+    t_i = fe.pann_num_frames(int(CLIP_SECONDS * sr), hop)
+    grid = fe.pann_valid_time(t_i)
+    length = grid * hop + n_fft
+
+    @jax.jit
+    def step(params, wave, n_valid):
+        mel = fe.pann_logmel_batch(wave, sr, grid, n_valid)
+        return pann_forward(params, mel)
+
+    wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, length), jnp.float32) * 0.1
+    n_valid = jnp.full((files_per_step,), t_i, jnp.int32)
+    dt = _time_step(step, (params, wave, n_valid))
+    return files_per_step * CLIP_SECONDS / 60.0 / dt
+
+
+def bench_clap(files_per_step=32):
+    import jax
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.models.clap import clap_forward, init_clap_params
+    from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+    params = init_clap_params(jax.random.PRNGKey(0))
+    n_fft = fe.PANN_CONFIGS[fe.CLAP_SAMPLE_RATE]["window_size"]
+    length = fe.CLAP_MAX_SAMPLES + n_fft  # reflect-padded 10 s @ 48 kHz
+
+    @jax.jit
+    def step(params, wave, n_valid):
+        mel = fe.pann_logmel_batch(wave, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES, n_valid)
+        return clap_forward(params, mel)
+
+    wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, length), jnp.float32) * 0.1
+    n_valid = jnp.full((files_per_step,), fe.CLAP_TIME_FRAMES, jnp.int32)
+    dt = _time_step(step, (params, wave, n_valid))
+    return files_per_step * CLIP_SECONDS / 60.0 / dt
+
+
+def bench_encodec24k(files_per_step=16):
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.models.encodec import (
+        encodec_forward,
+        init_encodec_params,
+    )
+
+    params = init_encodec_params(jax.random.PRNGKey(0), causal=True, channels=1)
+    s = int(CLIP_SECONDS * 24000)
+    step = jax.jit(functools.partial(encodec_forward, causal=True))
+    wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, 1, s), jnp.float32) * 0.1
+    dt = _time_step(step, (params, wave))
+    return files_per_step * CLIP_SECONDS / 60.0 / dt
+
+
+FAMILY_BENCHES = {
+    "vggish": bench_vggish,
+    "pann-16k": bench_pann16k,
+    "clap": bench_clap,
+    "encodec-24k": bench_encodec24k,
+}
+
+
+def bench_e2e(model_name: str, num_files: int = 64) -> float:
+    """Warm end-to-end score() throughput (audio-min/sec) on temp WAV dirs."""
+    import os
+    import tempfile
 
     import numpy as np
 
-    wave = jax.random.normal(jax.random.PRNGKey(1), (FILES_PER_STEP, s), jnp.float32) * 0.1
-    # Timing forces a device->host materialization per step (block_until_ready
-    # is unreliable through the axon tunnel, and a real scoring pipeline
-    # fetches embeddings anyway), with 2-deep pipelining so result transfer
-    # overlaps the next step's compute — the same deferred-materialization
-    # pattern the production pipeline uses.
-    out = np.asarray(step(params, wave))  # compile + warmup
-    n_iters = 6
-    queue = deque()
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+    from frechet_audio_distance_exported_tpu.utils.audio_io import write_wav
+
+    fad = FrechetAudioDistance(model_name=model_name, weights="random")
+    sr = fad.sample_rate
+    rng = np.random.default_rng(0)
+    bg, ev = tempfile.mkdtemp(), tempfile.mkdtemp()
+    for i in range(num_files):
+        clip = (rng.standard_normal(int(sr * CLIP_SECONDS)) * 0.1).astype(np.float32)
+        write_wav(os.path.join(bg, f"{i}.wav"), clip, sr)
+        write_wav(os.path.join(ev, f"{i}.wav"), clip * 0.9, sr)
+    fad.score(bg, ev)  # warm: compile all buckets
     t0 = time.perf_counter()
-    for _ in range(n_iters):
-        queue.append(step(params, wave))
-        if len(queue) >= 2:
-            out = np.asarray(queue.popleft())
-    while queue:
-        out = np.asarray(queue.popleft())
-    dt = (time.perf_counter() - t0) / n_iters
-    patches_per_step = FILES_PER_STEP * num_patches
-    return patches_per_step / dt, out.shape[0]
+    score = fad.score(bg, ev)
+    dt = time.perf_counter() - t0
+    assert score != -1
+    return 2 * num_files * CLIP_SECONDS / 60.0 / dt
 
 
 def bench_torch_cpu(n_patches: int = 128):
-    import numpy as np
     import torch
     import torch.nn as nn
 
@@ -103,13 +207,12 @@ def _arm_watchdog(seconds: int = 600):
     """The tunneled TPU can wedge indefinitely (observed after killed
     mid-flight clients); emit an honest zero-valued record instead of
     hanging the driver."""
-    import json as _json
     import os
     import signal
 
     def _fire(signum, frame):
         print(
-            _json.dumps(
+            json.dumps(
                 {
                     "metric": "vggish_embedding_throughput",
                     "value": 0.0,
@@ -127,15 +230,26 @@ def _arm_watchdog(seconds: int = 600):
 
 
 def main():
+    args = set(sys.argv[1:])
+    if "--families" in args:
+        _arm_watchdog(1800)
+        for name, fn in FAMILY_BENCHES.items():
+            v = fn()
+            print(f"[bench] {name} step: {v:.1f} audio-min/s/chip", file=sys.stderr, flush=True)
+        return
+    if "--e2e" in args:
+        _arm_watchdog(3600)
+        for name in ("vggish", "pann-16k", "clap", "encodec-24k"):
+            v = bench_e2e(name)
+            print(f"[bench] {name} e2e score(): {v:.1f} audio-min/s", file=sys.stderr, flush=True)
+        return
+
     _arm_watchdog()
-    tpu_patches_per_sec, _ = bench_tpu()
+    value = bench_vggish()
     import signal
 
     signal.alarm(0)
-    torch_patches_per_sec = bench_torch_cpu()
-    to_audio_min_per_sec = PATCH_SECONDS / 60.0
-    value = tpu_patches_per_sec * to_audio_min_per_sec
-    baseline = torch_patches_per_sec * to_audio_min_per_sec
+    baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
     print(
         json.dumps(
             {

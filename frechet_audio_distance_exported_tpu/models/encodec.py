@@ -85,34 +85,42 @@ def _res_block(p: dict, x: jnp.ndarray, causal: bool) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _lstm_layer(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """One torch-semantics LSTM layer over [B, T, H] -> [B, T, H].
+def _lstm_cell(gates: jnp.ndarray, c_prev: jnp.ndarray):
+    """torch gate order i, f, g, o."""
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
+    return jax.nn.sigmoid(o) * jnp.tanh(c), c
 
-    The input projection runs as a single [B*T, H] x [H, 4H] matmul before the
-    scan; the scan body only carries the recurrent matmul.
+
+def _slstm(p: dict, x: jnp.ndarray, unroll: int = 10) -> jnp.ndarray:
+    """2-layer LSTM with the SEANet residual skip (y = lstm(x) + x).
+
+    Throughput shaping (the LSTM dominates Encodec step time):
+    - layer 0's input projection is hoisted out of the scan as one big
+      [B*T, H] x [H, 4H] MXU matmul;
+    - both layers run in ONE wavefront scan — layer 1's step t consumes
+      layer 0's output at t inside the same iteration, so the scan has T
+      iterations instead of 2T (identical math, same op order per layer);
+    - layer 1's input and recurrent projections fuse into a single
+      [B, 2H] x [2H, 4H] matmul;
+    - the scan is unrolled so XLA pipelines consecutive iterations.
     """
     b, t, h = x.shape
-    gates_x = common.linear(x.reshape(b * t, h), p["w_ih"], p["b_ih"]).reshape(b, t, 4 * h)
-    gates_x = jnp.swapaxes(gates_x, 0, 1)  # [T, B, 4H] time-major for scan
+    p0, p1 = p["l0"], p["l1"]
+    gates_x0 = common.linear(x.reshape(b * t, h), p0["w_ih"], p0["b_ih"]).reshape(b, t, 4 * h)
+    gates_x0 = jnp.swapaxes(gates_x0, 0, 1)  # [T, B, 4H] time-major for scan
+    w1 = jnp.concatenate([p1["w_ih"], p1["w_hh"]], axis=0)  # [2H, 4H]
+    b1 = p1["b_ih"] + p1["b_hh"]
 
-    def step(carry, gx):
-        h_prev, c_prev = carry
-        gates = gx + common.linear(h_prev, p["w_hh"], p["b_hh"])
-        i, f, g, o = jnp.split(gates, 4, axis=-1)
-        c = jax.nn.sigmoid(f) * c_prev + jax.nn.sigmoid(i) * jnp.tanh(g)
-        hy = jax.nn.sigmoid(o) * jnp.tanh(c)
-        return (hy, c), hy
+    def step(carry, gx0):
+        h0, c0, h1, c1 = carry
+        y0, c0 = _lstm_cell(gx0 + common.linear(h0, p0["w_hh"], p0["b_hh"]), c0)
+        y1, c1 = _lstm_cell(common.linear(jnp.concatenate([y0, h1], axis=-1), w1, b1), c1)
+        return (y0, c0, y1, c1), y1
 
-    init = (jnp.zeros((b, h), x.dtype), jnp.zeros((b, h), x.dtype))
-    _, ys = jax.lax.scan(step, init, gates_x)
-    return jnp.swapaxes(ys, 0, 1)
-
-
-def _slstm(p: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """2-layer LSTM with the SEANet residual skip (y = lstm(x) + x)."""
-    y = _lstm_layer(p["l0"], x)
-    y = _lstm_layer(p["l1"], y)
-    return y + x
+    zeros = jnp.zeros((b, h), x.dtype)
+    _, ys = jax.lax.scan(step, (zeros, zeros, zeros, zeros), gates_x0, unroll=unroll)
+    return jnp.swapaxes(ys, 0, 1) + x
 
 
 # ---------------------------------------------------------------------------

@@ -69,9 +69,12 @@ class EmbeddingPipeline:
         if file_batch is None:
             # Per-family defaults measured on v5e: per-step dispatch latency
             # dominates small batches, so 10 s clips scale near-linearly to
-            # B=32 (PANN 32->93 audio-min/s, CLAP ->83, Encodec 4->16 was
-            # 2.7x; VGGish batches patches separately via patch_chunk).
-            file_batch = 32
+            # B=32 (PANN 32->93 audio-min/s, CLAP ->83; VGGish batches
+            # patches separately via patch_chunk). Encodec peaks at B=16
+            # (9.75 ms/file vs 15.1 at B=32 with the fused-scan LSTM —
+            # the recurrent matmul's HBM traffic grows with B while the
+            # sequential chain length stays T).
+            file_batch = 16 if self.cfg.family == "encodec" else 32
         self.file_batch = file_batch
         self.mesh = None
         self._min_batch = 1
