@@ -194,13 +194,25 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm
 
 
 def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
-    """soundfile.read-compatible entry point: native hook > soundfile > own codec."""
+    """soundfile.read-compatible entry point: native hook > soundfile > own
+    codecs (RIFF/WAVE + FLAC, sniffed by magic bytes)."""
     if _NATIVE_DECODER is not None and dtype in ("float32", "float64"):
         data, sr = _NATIVE_DECODER(fname)
         return _convert_dtype(data, dtype) if data.dtype != np.dtype(dtype) else data, sr
     if _sf is not None:
         return _sf.read(fname, dtype=dtype)
-    return read_wav(fname, dtype=dtype)
+    with open(fname, "rb") as f:
+        magic = f.read(4)
+    if magic == b"fLaC":
+        from .flac import read_flac
+
+        return read_flac(fname, dtype=dtype)
+    if magic == b"RIFF":
+        return read_wav(fname, dtype=dtype)
+    raise ValueError(
+        f"Unsupported audio format in {fname} (built-in codecs: WAV, FLAC; "
+        f"install soundfile for other libsndfile formats)"
+    )
 
 
 def load_audio(fname: str, sample_rate: int, channels: int, dtype: str = "float32") -> np.ndarray:
