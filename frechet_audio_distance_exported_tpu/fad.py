@@ -163,8 +163,18 @@ class FrechetAudioDistance:
         return stats_ops.calculate_embd_statistics_np(embd_lst)
 
     def calculate_frechet_distance(self, mu1, sigma1, mu2, sigma2, eps: float = 1e-6) -> float:
-        """Fréchet distance between two Gaussians (reference: fad.py:498-555)."""
-        return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2, eps=eps)
+        """Fréchet distance between two Gaussians (reference: fad.py:498-555).
+
+        Default epilogue is the float64 symmetric-eigh route: identical math
+        (trace of the product square root, same eps-diagonal retry), agrees
+        with scipy.linalg.sqrtm to ~1e-7 relative, and is ~50x faster at
+        d=2048 (PANN) — scipy's complex Schur sqrtm alone took 30+ s and
+        dominated end-to-end score() time. Set FAD_TPU_EXACT_SQRTM=1 to run
+        the reference's scipy algorithm bit-for-bit instead.
+        """
+        if os.environ.get("FAD_TPU_EXACT_SQRTM", "") not in ("", "0"):
+            return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2, eps=eps)
+        return stats_ops.frechet_distance_eigh_np(mu1, sigma1, mu2, sigma2, eps=eps)
 
     # ------------------------------------------------------------------
     # Audio loading & scoring
@@ -238,6 +248,17 @@ class FrechetAudioDistance:
             if len(embds_eval) == 0:
                 print("[FAD-TPU] Eval set dir is empty, exiting...")
                 return -1
+
+            # Rank-deficient regime (fewer rows than dims, e.g. PANN's d=2048
+            # over a typical corpus): the Gram-trick epilogue is exact and
+            # avoids the d x d eigendecompositions entirely.
+            d = embds_background.shape[1]
+            n_min = min(len(embds_background), len(embds_eval))
+            if (
+                1 < n_min < d
+                and os.environ.get("FAD_TPU_EXACT_SQRTM", "") in ("", "0")
+            ):
+                return stats_ops.frechet_distance_lowrank_np(embds_background, embds_eval)
 
             mu_background, sigma_background = self.calculate_embd_statistics(embds_background)
             mu_eval, sigma_eval = self.calculate_embd_statistics(embds_eval)

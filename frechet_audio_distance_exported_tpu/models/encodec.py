@@ -130,7 +130,10 @@ def _slstm(p: dict, x: jnp.ndarray, unroll: int = 10) -> jnp.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("causal",))
 def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.ndarray:
-    """[B, C, S] waveform -> [B, S//320, 128] frame embeddings."""
+    """[B, C, S] waveform (float32, or PCM16-exact int16) -> [B, S//320, 128]
+    frame embeddings."""
+    if x.dtype == jnp.int16:
+        x = x.astype(jnp.float32) / 32768.0
     h = jnp.swapaxes(x, 1, 2)  # NWC
     h = _sconv(params["conv_in"], h, kernel=7, stride=1, causal=causal)
     for ratio, stage in zip(RATIOS, params["stages"]):

@@ -128,14 +128,33 @@ def pann_valid_time(time: int) -> int:
 # ---------------------------------------------------------------------------
 
 
+def dequant_i16(wave: jnp.ndarray, full_scale: float = 32768.0) -> jnp.ndarray:
+    """int16-shipped waveforms -> float32 on device.
+
+    PCM16-exact audio is transferred as int16 (half the host->device tunnel
+    bytes — the dominant end-to-end cost through the axon tunnel) and
+    dequantized here, inside the jitted frontend, losslessly. float32 input
+    passes through; jit specializes per dtype, so this is trace-time only.
+
+    Division (not reciprocal multiply): CLAP's grid is k/32767 and 1/32767
+    is not a power of two — only k / full_scale reproduces the host float32
+    quantization bit-for-bit.
+    """
+    if wave.dtype == jnp.int16:
+        return wave.astype(jnp.float32) / full_scale
+    return wave
+
+
 @functools.partial(jax.jit, static_argnames=("num_frames",))
 def vggish_logmel_batch(wave: jnp.ndarray, num_frames: int) -> jnp.ndarray:
-    """[B, S] float32 @16 kHz -> [B, num_frames, 64] log-mel (HTK, magnitude).
+    """[B, S] float32 (or PCM16-exact int16) @16 kHz -> [B, num_frames, 64]
+    log-mel (HTK, magnitude).
 
     Exact math of the reference frontend (models/vggish.py:193-227) recast as
     two MXU matmuls. Frames are the uncentered 400/160 grid; rows beyond a
     file's true frame count are defined but must be masked by the caller.
     """
+    wave = dequant_i16(wave)
     mel_mat = jnp.asarray(
         dsp.htk_mel_matrix(
             VGGISH_MEL_BINS, VGGISH_FFT // 2 + 1, VGGISH_SAMPLE_RATE,
@@ -178,14 +197,16 @@ def reflect_pad_host(audio: np.ndarray, n_fft: int) -> np.ndarray:
     return np.pad(audio, n_fft // 2, mode="reflect")
 
 
-@functools.partial(jax.jit, static_argnames=("target_sample_rate", "num_frames"))
+@functools.partial(jax.jit, static_argnames=("target_sample_rate", "num_frames", "i16_full_scale"))
 def pann_logmel_batch(
     padded_wave: jnp.ndarray,
     target_sample_rate: int,
     num_frames: int,
     n_valid_frames: Optional[jnp.ndarray] = None,
+    i16_full_scale: float = 32768.0,
 ) -> jnp.ndarray:
-    """Reflect-padded [B, L] float32 -> [B, num_frames, 64] log-mel (dB).
+    """Reflect-padded [B, L] float32 (or int16 on the k/i16_full_scale grid)
+    -> [B, num_frames, 64] log-mel (dB).
 
     ``padded_wave`` rows are reflect_pad_host(x, n_fft) then zero-extended to a
     common bucket length L. Frame t spans padded[t*hop : t*hop + n_fft], which
@@ -194,6 +215,7 @@ def pann_logmel_batch(
     0.0 — exactly the reference's zero pad of the log-mel onto the PANN time
     grid (reference: fad.py:41-66).
     """
+    padded_wave = dequant_i16(padded_wave, i16_full_scale)
     cfg = PANN_CONFIGS[target_sample_rate]
     n_fft, hop = cfg["window_size"], cfg["hop_size"]
     mel_mat = jnp.asarray(

@@ -230,6 +230,38 @@ def frechet_distance_eigh_np(
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr)
 
 
+def frechet_distance_lowrank_np(emb1: np.ndarray, emb2: np.ndarray) -> float:
+    """Exact Fréchet distance straight from the two embedding matrices,
+    exploiting rank deficiency (the Gram trick).
+
+    With centered X [n, d], Y [m, d]: Σ₁Σ₂ = XᵀX YᵀY / ((n-1)(m-1)) and the
+    nonzero eigenvalues of XᵀX YᵀY equal those of (XYᵀ)(XYᵀ)ᵀ [n, n], so
+
+        tr sqrtm(Σ₁Σ₂) = Σ σ_i(X Yᵀ) / sqrt((n-1)(m-1))
+
+    — one [n, d] x [d, m] matmul + an n x m SVD instead of three d x d
+    eigendecompositions. For PANN (d=2048) scored over 128 files this turns
+    a multi-second epilogue into milliseconds, with NO approximation (same
+    value as the scipy/eigh routes up to float64 rounding; the traces and
+    the mean term come directly from X, Y as well). Used by score() when
+    min(n, m) < d; the eigh/scipy routes handle the overdetermined case.
+    """
+    x = np.asarray(emb1, np.float64)
+    y = np.asarray(emb2, np.float64)
+    n, m = x.shape[0], y.shape[0]
+    mu1 = x.mean(axis=0)
+    mu2 = y.mean(axis=0)
+    xc = x - mu1
+    yc = y - mu2
+    diff = mu1 - mu2
+    tr1 = float(np.sum(xc * xc)) / (n - 1)
+    tr2 = float(np.sum(yc * yc)) / (m - 1)
+    cross = xc @ yc.T  # [n, m]
+    sv = np.linalg.svd(cross, compute_uv=False)
+    tr_covmean = float(np.sum(sv)) / np.sqrt((n - 1.0) * (m - 1.0))
+    return float(diff.dot(diff) + tr1 + tr2 - 2.0 * tr_covmean)
+
+
 @functools.partial(jax.jit, static_argnames=("method", "num_iters"))
 def frechet_distance_jax(
     mu1: jnp.ndarray,

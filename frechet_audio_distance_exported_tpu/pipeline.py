@@ -36,6 +36,31 @@ from .ops import frontends as fe
 from .ops.resample import resample
 
 
+def as_int16_exact(x: np.ndarray, full_scale: float = 32768.0) -> Optional[np.ndarray]:
+    """int16 view of float audio that is exactly on the k/full_scale grid
+    (i.e. decoded PCM16 that was never resampled/mixed), else None.
+
+    Shipping int16 halves host->device transfer bytes — the dominant
+    end-to-end cost through a tunneled TPU; the jitted frontends dequantize
+    on device losslessly (ops.frontends.dequant_i16).
+    """
+    q = np.round(x * full_scale)
+    if q.size and -32768.0 <= q.min() and q.max() <= 32767.0 and np.array_equal(q / full_scale, x):
+        return q.astype(np.int16)
+    return None
+
+
+def _pack_wave(rows, b: int, length: int, full_scale: float = 32768.0) -> np.ndarray:
+    """[B, length] zero-padded batch buffer; int16 iff every row is int16."""
+    all_i16 = all(r.dtype == np.int16 for r in rows)
+    wave = np.zeros((b, length), np.int16 if all_i16 else np.float32)
+    for row, r in enumerate(rows):
+        if r.dtype == np.int16 and not all_i16:
+            r = r.astype(np.float32) / full_scale
+        wave[row, : len(r)] = r
+    return wave
+
+
 def bucket_len(n: int, minimum: int = 2048) -> int:
     """Smallest {2^k, 1.5*2^k} >= max(n, minimum): <=33% padding waste while
     keeping the number of distinct compiled shapes logarithmic."""
@@ -287,7 +312,9 @@ class EmbeddingPipeline:
                     data = np.mean(data, axis=1)
                 if sr != fe.VGGISH_SAMPLE_RATE:
                     data = resample(data, sr, fe.VGGISH_SAMPLE_RATE)
-                prepped.append(data.astype(np.float32))
+                data = data.astype(np.float32)
+                q = as_int16_exact(data)
+                prepped.append(data if q is None else q)
             except Exception as e:
                 if strict:
                     raise
@@ -316,11 +343,8 @@ class EmbeddingPipeline:
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
                 b = self._bucket_batch(len(chunk_idx))
-                wave = np.zeros((b, s_bucket), dtype=np.float32)
-                p_counts = []
-                for row, i in enumerate(chunk_idx):
-                    wave[row, : len(prepped[i])] = prepped[i]
-                    p_counts.append(fe.vggish_num_patches(len(prepped[i])))
+                wave = _pack_wave([prepped[i] for i in chunk_idx], b, s_bucket)
+                p_counts = [fe.vggish_num_patches(len(prepped[i])) for i in chunk_idx]
                 patches = fe.vggish_patches_batch(self._to_device(wave), p_max)
                 # Select only the valid patches of each file, preserving order.
                 sel_rows, sel_patch = [], []
@@ -340,10 +364,14 @@ class EmbeddingPipeline:
     # PANN
     # ------------------------------------------------------------------
 
-    def _embed_mel_cnn(self, audio_list, strict, sink, prep_fn, group_key_fn, plan_fn):
+    def _embed_mel_cnn(
+        self, audio_list, strict, sink, prep_fn, group_key_fn, plan_fn,
+        i16_full_scale: float = 32768.0,
+    ):
         """Shared scaffold for the mel-frontend CNN families (PANN, CLAP).
 
-        prep_fn(audio) -> (reflect_padded_wave, n_valid_frames)
+        prep_fn(audio) -> (reflect_padded_wave, n_valid_frames); the wave may
+            be int16 on the k/i16_full_scale grid (PCM16-exact fast path)
         group_key_fn(item) -> static-shape group key
         plan_fn(key) -> (buffer_len, target_sample_rate, num_frames)
         """
@@ -370,14 +398,15 @@ class EmbeddingPipeline:
             for c0 in range(0, len(idxs), self.file_batch):
                 chunk_idx = idxs[c0 : c0 + self.file_batch]
                 b = self._bucket_batch(len(chunk_idx))
-                wave = np.zeros((b, length), dtype=np.float32)
+                wave = _pack_wave(
+                    [prepped[i][0] for i in chunk_idx], b, length, i16_full_scale
+                )
                 n_valid = np.zeros((b,), dtype=np.int32)
                 for row, i in enumerate(chunk_idx):
-                    padded, valid = prepped[i]
-                    wave[row, : len(padded)] = padded
-                    n_valid[row] = valid
+                    n_valid[row] = prepped[i][1]
                 log_mel = fe.pann_logmel_batch(
-                    self._to_device(wave), target_sr, num_frames, jnp.asarray(n_valid)
+                    self._to_device(wave), target_sr, num_frames, jnp.asarray(n_valid),
+                    i16_full_scale=i16_full_scale,
                 )
                 emb_dev = self._forward(self.params, log_mel)
                 if sink is not None:
@@ -409,7 +438,9 @@ class EmbeddingPipeline:
                 raise ValueError(
                     f"Audio too short for PANN (grid {fe.pann_valid_time(t_i)} < 40 frames)"
                 )
-            return fe.reflect_pad_host(data, n_fft), t_i
+            padded = fe.reflect_pad_host(data, n_fft)
+            q = as_int16_exact(padded)
+            return (padded if q is None else q), t_i
 
         return self._embed_mel_cnn(
             audio_list, strict, sink,
@@ -441,13 +472,18 @@ class EmbeddingPipeline:
             # reference's mel zero-pad (fad.py:69-91) — relevant when
             # sr > 48 kHz shrinks the padded waveform below 10 s.
             n_valid = min(fe.CLAP_TIME_FRAMES, fe.pann_num_frames(len(data), 480))
-            return fe.reflect_pad_host(data, n_fft), n_valid
+            padded = fe.reflect_pad_host(data, n_fft)
+            # The int16 quantization above puts samples on the k/32767 grid,
+            # so the no-resample case always ships int16.
+            q = as_int16_exact(padded, 32767.0)
+            return (padded if q is None else q), n_valid
 
         return self._embed_mel_cnn(
             audio_list, strict, sink,
             prep_fn=prep,
             group_key_fn=lambda item: bucket_len(len(item[0])),
             plan_fn=lambda s_bucket: (s_bucket, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES),
+            i16_full_scale=32767.0,
         )
 
     # ------------------------------------------------------------------
@@ -477,9 +513,8 @@ class EmbeddingPipeline:
                     raise ValueError(
                         f"Audio too long: {pre.shape[-1]} samples > {max_samples} max samples"
                     )
-                fixed = np.zeros((channels, max_samples), dtype=np.float32)
-                fixed[:, : pre.shape[-1]] = pre
-                prepped.append((fixed, original_samples // hop))
+                q = as_int16_exact(pre)
+                prepped.append((pre if q is None else q, original_samples // hop))
             except Exception as e:
                 if strict:
                     raise
@@ -492,9 +527,13 @@ class EmbeddingPipeline:
         for c0 in range(0, len(idxs), self.file_batch):
             chunk_idx = idxs[c0 : c0 + self.file_batch]
             b = self._bucket_batch(len(chunk_idx))
-            wave = np.zeros((b, channels, max_samples), dtype=np.float32)
-            for row, i in enumerate(chunk_idx):
-                wave[row] = prepped[i][0]
+            rows = [prepped[i][0] for i in chunk_idx]
+            all_i16 = all(r.dtype == np.int16 for r in rows)
+            wave = np.zeros((b, channels, max_samples), np.int16 if all_i16 else np.float32)
+            for row, r in enumerate(rows):
+                if r.dtype == np.int16 and not all_i16:
+                    r = r.astype(np.float32) / 32768.0
+                wave[row, :, : r.shape[-1]] = r
             emb_dev = self._forward(self.params, self._to_device(wave))  # [B, T, 128]
             if sink is not None:
                 t = emb_dev.shape[1]

@@ -78,6 +78,38 @@ class TestFrechetNp:
         assert np.isfinite(out)
 
 
+class TestFrechetLowRank:
+    @pytest.mark.parametrize("d,n,m", [(64, 20, 24), (256, 40, 40), (2048, 32, 48)])
+    def test_matches_scipy_rank_deficient(self, d, n, m):
+        """Gram-trick epilogue == scipy sqrtm path (exact identity, f64)."""
+        rng = np.random.default_rng(d + n)
+        x1 = rng.standard_normal((n, d))
+        x2 = rng.standard_normal((m, d)) * 1.2 + 0.1
+        ref = st.frechet_distance_np(
+            x1.mean(0), np.cov(x1, rowvar=False), x2.mean(0), np.cov(x2, rowvar=False)
+        )
+        got = st.frechet_distance_lowrank_np(x1, x2)
+        # scipy's complex Schur sqrtm carries ~1e-7 of its own error on
+        # rank-deficient products; the identity itself is exact.
+        assert abs(got - ref) / max(abs(ref), 1.0) < 1e-6, (got, ref)
+
+    def test_matches_scipy_overdetermined(self):
+        """Identity also holds with more rows than dims."""
+        rng = np.random.default_rng(3)
+        x1 = rng.standard_normal((100, 16))
+        x2 = rng.standard_normal((120, 16)) + 0.2
+        ref = st.frechet_distance_np(
+            x1.mean(0), np.cov(x1, rowvar=False), x2.mean(0), np.cov(x2, rowvar=False)
+        )
+        got = st.frechet_distance_lowrank_np(x1, x2)
+        assert abs(got - ref) / max(abs(ref), 1.0) < 1e-6, (got, ref)
+
+    def test_identical_sets_zero(self):
+        rng = np.random.default_rng(5)
+        x = rng.standard_normal((30, 64))
+        assert abs(st.frechet_distance_lowrank_np(x, x)) < 1e-9
+
+
 class TestFrechetJax:
     @pytest.mark.parametrize("d", [8, 64, 256])
     @pytest.mark.parametrize("method", ["eigh", "newton_schulz"])
