@@ -54,7 +54,7 @@ class FrechetAudioDistance:
         weights: str = "auto",
         seed: int = 0,
         file_batch: Optional[int] = None,
-        patch_chunk: int = 256,
+        patch_chunk: int = 1024,
         mesh=None,
     ):
         """Initialize the FAD calculator.

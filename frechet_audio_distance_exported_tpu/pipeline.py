@@ -78,6 +78,40 @@ def bucket_batch(n: int, cap: int) -> int:
     return 1 << (int(n - 1).bit_length() if n > 1 else 0)
 
 
+# ---------------------------------------------------------------------------
+# Fused per-chunk programs: ONE XLA executable per (frontend -> model) chunk.
+# Through a tunneled TPU every dispatch is a network roundtrip, so the old
+# shape (frontend jit + eager gather/slice/pad + model jit = ~10 dispatches
+# per chunk) was dispatch-latency-bound end-to-end; these collapse it to one.
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("num_patches", "forward"))
+def _fused_vggish_step(params, wave, num_patches: int, forward):
+    """[B, S] waveform -> [B, P, 128]: log-mel patches + CNN in one program.
+
+    Computes ALL P = patches(bucket) rows per file; the host keeps each
+    file's first P_i rows after the (tiny) fetch. The wasted tail compute is
+    bounded by the <=33% bucket padding and is far cheaper than the extra
+    dispatches of an on-device gather-select."""
+    patches = fe.vggish_patches_batch(wave, num_patches)
+    emb = forward(params, patches.reshape(-1, 96, 64))
+    return emb.reshape(wave.shape[0], num_patches, -1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward")
+)
+def _fused_mel_cnn_step(
+    params, wave, n_valid, target_sr: int, num_frames: int, i16_full_scale: float, forward
+):
+    """Reflect-padded [B, L] waveform -> [B, d]: log-mel + CNN, one program."""
+    mel = fe.pann_logmel_batch(
+        wave, target_sr, num_frames, n_valid, i16_full_scale=i16_full_scale
+    )
+    return forward(params, mel)
+
+
 class EmbeddingPipeline:
     """Embeds lists of (already decoded/resampled) waveforms for one model."""
 
@@ -86,7 +120,7 @@ class EmbeddingPipeline:
         model_name: str,
         params,
         file_batch: Optional[int] = None,
-        patch_chunk: int = 256,
+        patch_chunk: int = 1024,
         verbose: bool = False,
     ):
         self.cfg = registry.get_model_config(model_name)
@@ -113,6 +147,17 @@ class EmbeddingPipeline:
         from .config import model_dtype
 
         dtype = model_dtype()
+        if dtype != jnp.float32 and self.cfg.family == "encodec":
+            # Measured on v5e (round 2): bf16 error compounds over the
+            # LSTM's 750 sequential steps and destroys the score (FAD 918 vs
+            # 3e-4 on the same dirs). Other families degrade gracefully;
+            # this one must not run in bf16.
+            print(
+                "[FAD-TPU] Warning: FAD_TPU_MODEL_DTYPE=bfloat16 is numerically "
+                "unusable for Encodec (LSTM recurrence error compounding); "
+                "keeping float32 for this model."
+            )
+            dtype = jnp.float32
         if dtype != jnp.float32:
             # bfloat16 inference: cast weights once, cast inputs per call,
             # upcast outputs so statistics stay float32.
@@ -268,30 +313,6 @@ class EmbeddingPipeline:
     # Shared chunked model application
     # ------------------------------------------------------------------
 
-    def _run_model_chunked(self, rows: jnp.ndarray, sink=None):
-        """Apply the embedding network over [N, ...] rows in fixed-size chunks
-        (one XLA program per chunk size, sizes drawn from pow2 buckets).
-        With a sink, rows stay on device and None is returned."""
-        n = rows.shape[0]
-        outs = []
-        start = 0
-        while start < n:
-            take = min(self.patch_chunk, n - start)
-            padded = bucket_batch(take, self.patch_chunk)
-            chunk = jax.lax.dynamic_slice_in_dim(rows, start, take, axis=0)
-            if padded != take:
-                pad_widths = [(0, padded - take)] + [(0, 0)] * (rows.ndim - 1)
-                chunk = jnp.pad(chunk, pad_widths)
-            out = self._forward(self.params, chunk)
-            if sink is not None:
-                sink(out[:take], None)
-            else:
-                outs.append(out[:take])
-            start += take
-        if sink is not None:
-            return None
-        return np.concatenate([np.asarray(o) for o in outs], axis=0)
-
     def _drain_pending(self, pending, per_file, trim):
         """Materialize deferred device chunks; trim(emb, row, file_idx) -> rows."""
         for chunk_idx, emb_dev in pending:
@@ -338,26 +359,39 @@ class EmbeddingPipeline:
                 self._tick(1)
                 continue
             groups.setdefault(bucket_len(len(data)), []).append(i)
+        pending = []
         for s_bucket, idxs in sorted(groups.items()):
             p_max = fe.vggish_num_patches(s_bucket)
-            for c0 in range(0, len(idxs), self.file_batch):
-                chunk_idx = idxs[c0 : c0 + self.file_batch]
-                b = self._bucket_batch(len(chunk_idx))
+            # Cap files per program so the CNN batch (b * p_max patches)
+            # stays within a bounded activation footprint for long files.
+            b_cap = max(
+                self._min_batch, min(self.file_batch, max(1, self.patch_chunk // p_max))
+            )
+            for c0 in range(0, len(idxs), b_cap):
+                chunk_idx = idxs[c0 : c0 + b_cap]
+                from .parallel.mesh import pad_to_shards
+
+                b = pad_to_shards(bucket_batch(len(chunk_idx), b_cap), self._min_batch)
                 wave = _pack_wave([prepped[i] for i in chunk_idx], b, s_bucket)
                 p_counts = [fe.vggish_num_patches(len(prepped[i])) for i in chunk_idx]
-                patches = fe.vggish_patches_batch(self._to_device(wave), p_max)
-                # Select only the valid patches of each file, preserving order.
-                sel_rows, sel_patch = [], []
-                for row, count in enumerate(p_counts):
-                    sel_rows.extend([row] * count)
-                    sel_patch.extend(range(count))
-                valid = patches[jnp.asarray(sel_rows), jnp.asarray(sel_patch)]
-                emb = self._run_model_chunked(valid, sink=sink)
-                off = 0
-                for i, count in zip(chunk_idx, p_counts):
-                    per_file[i] = count if sink is not None else emb[off : off + count]
-                    off += count
+                emb_dev = _fused_vggish_step(
+                    self.params, self._to_device(wave), p_max, self._forward
+                )  # [b, p_max, 128]
+                if sink is not None:
+                    mask = np.zeros((b, p_max), np.float32)
+                    for row, count in enumerate(p_counts):
+                        mask[row, :count] = 1.0
+                    sink(emb_dev.reshape(b * p_max, -1), jnp.asarray(mask.reshape(-1)))
+                    for i, count in zip(chunk_idx, p_counts):
+                        per_file[i] = count
+                else:
+                    pending.append((chunk_idx, p_counts, emb_dev))
                 self._tick(len(chunk_idx))
+        # Materialize after all dispatches (device work overlaps host packing).
+        for chunk_idx, p_counts, emb_dev in pending:
+            emb = np.asarray(emb_dev)
+            for row, (i, count) in enumerate(zip(chunk_idx, p_counts)):
+                per_file[i] = emb[row, :count]
         return per_file
 
     # ------------------------------------------------------------------
@@ -404,11 +438,10 @@ class EmbeddingPipeline:
                 n_valid = np.zeros((b,), dtype=np.int32)
                 for row, i in enumerate(chunk_idx):
                     n_valid[row] = prepped[i][1]
-                log_mel = fe.pann_logmel_batch(
-                    self._to_device(wave), target_sr, num_frames, jnp.asarray(n_valid),
-                    i16_full_scale=i16_full_scale,
+                emb_dev = _fused_mel_cnn_step(
+                    self.params, self._to_device(wave), n_valid,
+                    target_sr, num_frames, i16_full_scale, self._forward,
                 )
-                emb_dev = self._forward(self.params, log_mel)
                 if sink is not None:
                     sink(emb_dev[: len(chunk_idx)], None)
                     for i in chunk_idx:
