@@ -208,6 +208,20 @@ def check_sanity(model_name: str, ckpt_dir: str, weights: str) -> bool:
 
 
 def main():
+    # Deterministic CPU numerics for the harness (the environment's
+    # sitecustomize force-selects the TPU platform and overrides the
+    # JAX_PLATFORMS env var; TPU bf16x3 matmul noise would trip the
+    # preprocessing bars, which were defined on CPU like the reference's).
+    # Set FAD_TPU_VERIFY_ON_DEVICE=1 to verify on the default platform —
+    # then only the end-to-end FAD bars are meaningful.
+    if os.environ.get("FAD_TPU_VERIFY_ON_DEVICE", "") in ("", "0"):
+        import jax
+
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     from frechet_audio_distance_exported_tpu import registry
 
     ap = argparse.ArgumentParser(description=__doc__)
