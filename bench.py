@@ -203,27 +203,30 @@ def bench_torch_cpu(n_patches: int = 128):
     return n_patches / dt
 
 
-def _arm_watchdog(seconds: int = 600):
+def _arm_watchdog(seconds: int = 600, emit_driver_record: bool = True):
     """The tunneled TPU can wedge indefinitely (observed after killed
-    mid-flight clients); emit an honest zero-valued record instead of
-    hanging the driver."""
+    mid-flight clients); bail out instead of hanging. In driver mode an
+    honest zero-valued flagship record goes to stdout; the --families/--e2e
+    modes only report the wedge on stderr (their stdout must not fabricate a
+    flagship metric they never measured) and exit nonzero."""
     import os
     import signal
 
     def _fire(signum, frame):
-        print(
-            json.dumps(
-                {
-                    "metric": "vggish_embedding_throughput",
-                    "value": 0.0,
-                    "unit": "audio_min/sec/chip",
-                    "vs_baseline": 0.0,
-                }
-            ),
-            flush=True,
-        )
+        if emit_driver_record:
+            print(
+                json.dumps(
+                    {
+                        "metric": "vggish_embedding_throughput",
+                        "value": 0.0,
+                        "unit": "audio_min/sec/chip",
+                        "vs_baseline": 0.0,
+                    }
+                ),
+                flush=True,
+            )
         print("bench watchdog fired: TPU unresponsive", file=sys.stderr, flush=True)
-        os._exit(0)
+        os._exit(0 if emit_driver_record else 1)
 
     signal.signal(signal.SIGALRM, _fire)
     signal.alarm(seconds)
@@ -232,13 +235,13 @@ def _arm_watchdog(seconds: int = 600):
 def main():
     args = set(sys.argv[1:])
     if "--families" in args:
-        _arm_watchdog(1800)
+        _arm_watchdog(1800, emit_driver_record=False)
         for name, fn in FAMILY_BENCHES.items():
             v = fn()
             print(f"[bench] {name} step: {v:.1f} audio-min/s/chip", file=sys.stderr, flush=True)
         return
     if "--e2e" in args:
-        _arm_watchdog(3600)
+        _arm_watchdog(3600, emit_driver_record=False)
         for name in ("vggish", "pann-16k", "clap", "encodec-24k"):
             v = bench_e2e(name)
             print(f"[bench] {name} e2e score(): {v:.1f} audio-min/s", file=sys.stderr, flush=True)

@@ -55,6 +55,20 @@ def _build_and_load() -> Optional[ctypes.CDLL]:
         ctypes.c_int32, ctypes.POINTER(ctypes.c_float),
     ]
     lib.pcm32_to_f32.restype = None
+    lib.flac_rice_residuals.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.flac_rice_residuals.restype = ctypes.c_int64
+    lib.flac_reconstruct_fixed.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+    ]
+    lib.flac_reconstruct_fixed.restype = None
+    lib.flac_reconstruct_lpc.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32,
+    ]
+    lib.flac_reconstruct_lpc.restype = None
     lib.fad_native_abi_version.restype = ctypes.c_int32
     if lib.fad_native_abi_version() != 1:
         return None
@@ -97,6 +111,44 @@ def resample_kaiser(
         y.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
     )
     return y
+
+
+def flac_rice_residuals(data: bytes, bit_pos: int, block_size: int, order: int):
+    """Partitioned-Rice residual decode (FLAC). Returns (residuals, new_bit_pos)
+    or None if the library is absent / the stream needs the Python fallback
+    (which produces the detailed error)."""
+    lib = _lib()
+    if lib is None:
+        return None
+    out = np.empty(block_size - order, dtype=np.int64)
+    buf = np.frombuffer(data, dtype=np.uint8)
+    new_pos = lib.flac_rice_residuals(
+        buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        buf.shape[0], bit_pos, block_size, order,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if new_pos < 0:
+        return None
+    return out, int(new_pos)
+
+
+def flac_reconstruct(x: np.ndarray, order: int, coefs=None, shift: int = 0) -> bool:
+    """In-place predictor reconstruction (FIXED when coefs is None, else LPC).
+    Returns False when the library is absent."""
+    lib = _lib()
+    if lib is None:
+        return False
+    assert x.dtype == np.int64 and x.flags.c_contiguous
+    ptr = x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    if coefs is None:
+        lib.flac_reconstruct_fixed(ptr, x.shape[0], order)
+    else:
+        c = np.ascontiguousarray(coefs, dtype=np.int32)
+        lib.flac_reconstruct_lpc(
+            ptr, x.shape[0], order,
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), shift,
+        )
+    return True
 
 
 def pcm_to_f32(samples: np.ndarray, channels: int, mixdown: bool) -> Optional[np.ndarray]:

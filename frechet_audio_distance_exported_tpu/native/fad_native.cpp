@@ -108,3 +108,133 @@ void pcm32_to_f32(const int32_t* in, int64_t frames, int32_t channels,
 int32_t fad_native_abi_version() { return 1; }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// FLAC hot loops (utils/flac.py keeps the pure-Python fallback): MSB-first
+// bit reader, partitioned-Rice residual decode, and FIXED/LPC reconstruction.
+// Per-sample work in Python costs ~1 us/op; these loops run at memory speed.
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t nbytes;
+    int64_t bitpos;  // absolute bit index from the start of `data`
+
+    inline int64_t bits_left() const { return nbytes * 8 - bitpos; }
+
+    inline uint64_t read_uint(int n) {  // n <= 57
+        uint64_t v = 0;
+        int64_t byte = bitpos >> 3;
+        int off = (int)(bitpos & 7);
+        bitpos += n;
+        int take = n;
+        // Load up to 8 bytes starting at `byte` (big-endian), shift out `off`.
+        uint64_t acc = 0;
+        int avail = 0;
+        while (avail < off + take && byte < nbytes && avail < 64) {
+            acc = (acc << 8) | data[byte++];
+            avail += 8;
+        }
+        // acc holds `avail` bits; we want bits [off, off+take).
+        v = (acc >> (avail - off - take)) & ((take == 64) ? ~0ULL : ((1ULL << take) - 1));
+        return v;
+    }
+
+    inline int64_t read_unary() {
+        int64_t count = 0;
+        while (bitpos < nbytes * 8) {
+            int64_t byte = bitpos >> 3;
+            int off = (int)(bitpos & 7);
+            uint8_t rest = (uint8_t)(data[byte] << off);
+            if (rest == 0) {
+                count += 8 - off;
+                bitpos += 8 - off;
+            } else {
+                int lead = __builtin_clz((uint32_t)rest) - 24;  // zeros before the 1
+                count += lead;
+                bitpos += lead + 1;  // consume zeros + terminator
+                return count;
+            }
+        }
+        return -1;  // truncated stream
+    }
+};
+
+extern "C" {
+
+// Decode one subframe's partitioned-Rice residuals (zigzag undone) starting
+// at `bit_pos`. Returns the new bit position, or -1 on error/truncation.
+int64_t flac_rice_residuals(const uint8_t* data, int64_t nbytes, int64_t bit_pos,
+                            int32_t block_size, int32_t order, int64_t* out) {
+    BitReader br{data, nbytes, bit_pos};
+    if (br.bits_left() < 6) return -1;
+    int method = (int)br.read_uint(2);
+    if (method > 1) return -1;
+    int param_bits = method == 0 ? 4 : 5;
+    int escape = method == 0 ? 0xF : 0x1F;
+    int part_order = (int)br.read_uint(4);
+    int64_t n_parts = 1LL << part_order;
+    if (block_size % n_parts) return -1;
+    int64_t part_len = block_size >> part_order;
+    if (part_len <= order && part_order > 0) return -1;
+    int64_t idx = 0;
+    for (int64_t p = 0; p < n_parts; ++p) {
+        int64_t n = part_len - (p == 0 ? order : 0);
+        if (br.bits_left() < param_bits) return -1;
+        int param = (int)br.read_uint(param_bits);
+        if (param == escape) {
+            if (br.bits_left() < 5) return -1;
+            int raw_bits = (int)br.read_uint(5);
+            for (int64_t i = 0; i < n; ++i) {
+                if (br.bits_left() < raw_bits) return -1;
+                if (raw_bits == 0) { out[idx++] = 0; continue; }
+                uint64_t v = br.read_uint(raw_bits);
+                int64_t s = (int64_t)v;
+                if (v >= (1ULL << (raw_bits - 1))) s -= (1LL << raw_bits);
+                out[idx++] = s;
+            }
+        } else {
+            for (int64_t i = 0; i < n; ++i) {
+                int64_t q = br.read_unary();
+                if (q < 0 || br.bits_left() < param) return -1;
+                uint64_t v = ((uint64_t)q << param) | (param ? br.read_uint(param) : 0);
+                out[idx++] = (int64_t)(v >> 1) ^ -(int64_t)(v & 1);  // zigzag
+            }
+        }
+    }
+    return br.bitpos;
+}
+
+// In-place FIXED-predictor reconstruction: x[0:order] are warmup samples,
+// x[order:n] hold residuals on entry and samples on exit.
+void flac_reconstruct_fixed(int64_t* x, int64_t n, int32_t order) {
+    switch (order) {
+        case 0: break;
+        case 1:
+            for (int64_t i = 1; i < n; ++i) x[i] += x[i - 1];
+            break;
+        case 2:
+            for (int64_t i = 2; i < n; ++i) x[i] += 2 * x[i - 1] - x[i - 2];
+            break;
+        case 3:
+            for (int64_t i = 3; i < n; ++i)
+                x[i] += 3 * x[i - 1] - 3 * x[i - 2] + x[i - 3];
+            break;
+        case 4:
+            for (int64_t i = 4; i < n; ++i)
+                x[i] += 4 * x[i - 1] - 6 * x[i - 2] + 4 * x[i - 3] - x[i - 4];
+            break;
+    }
+}
+
+// In-place LPC reconstruction with quantized coefficients.
+void flac_reconstruct_lpc(int64_t* x, int64_t n, int32_t order,
+                          const int32_t* coefs, int32_t shift) {
+    for (int64_t i = order; i < n; ++i) {
+        int64_t acc = 0;
+        for (int32_t j = 0; j < order; ++j) acc += (int64_t)coefs[j] * x[i - 1 - j];
+        x[i] += acc >> shift;
+    }
+}
+
+}  // extern "C" (FLAC section)

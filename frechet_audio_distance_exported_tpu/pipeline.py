@@ -216,13 +216,13 @@ class EmbeddingPipeline:
             self.patch_chunk = max(self.patch_chunk, n)
             self._min_batch = n
 
-    def _bucket_batch(self, n: int) -> int:
+    def _bucket_batch(self, n: int, cap: Optional[int] = None) -> int:
         # Round up to a multiple of the mesh size: power-of-two buckets alone
         # are not divisible by non-power-of-two meshes and device_put would
         # reject the sharding.
         from .parallel.mesh import pad_to_shards
 
-        return pad_to_shards(bucket_batch(n, self.file_batch), self._min_batch)
+        return pad_to_shards(bucket_batch(n, cap or self.file_batch), self._min_batch)
 
     def _to_device(self, arr: np.ndarray):
         """Host batch -> device array (sharded over 'data' when a mesh is set;
@@ -344,11 +344,19 @@ class EmbeddingPipeline:
 
         # Group by waveform bucket; compute patches per group.
         per_file: List[Optional[np.ndarray]] = [None] * len(audio_list)
-        groups: Dict[int, List[int]] = {}
+        # Long files are split at patch boundaries so no single XLA program
+        # sees more than ~patch_chunk patches (bounded activation footprint).
+        # VGGish framing is uncentered, so a segment starting at sample
+        # 160*96*k0 and ending at 160*(96*k1 - 1) + 400 reproduces exactly
+        # frames [96*k0, 96*k1) of the full file — the split is numerically
+        # invisible. Work items are (file_idx, segment_order, samples).
+        seg_hop = fe.VGGISH_HOP * fe.VGGISH_PATCH_FRAMES  # samples per patch
+        items: List[Tuple[int, int, np.ndarray]] = []
         for i, data in enumerate(prepped):
             if data is None:
                 continue
-            if fe.vggish_num_patches(len(data)) == 0:
+            p = fe.vggish_num_patches(len(data))
+            if p == 0:
                 # Audio shorter than one 0.96 s patch: zero rows, like the
                 # reference's tail-dropping framing (models/vggish.py:263-271
                 # yields an empty [0, 128] embedding, not an error).
@@ -358,22 +366,35 @@ class EmbeddingPipeline:
                 )
                 self._tick(1)
                 continue
-            groups.setdefault(bucket_len(len(data)), []).append(i)
+            if p <= self.patch_chunk:
+                items.append((i, 0, data))
+            else:
+                for seg, k0 in enumerate(range(0, p, self.patch_chunk)):
+                    k1 = min(p, k0 + self.patch_chunk)
+                    end = len(data) if k1 == p else (
+                        fe.VGGISH_HOP * (fe.VGGISH_PATCH_FRAMES * k1 - 1) + fe.VGGISH_WINDOW
+                    )
+                    items.append((i, seg, data[seg_hop * k0 : end]))
+
+        groups: Dict[int, List[int]] = {}
+        for idx, (_, _, seg_data) in enumerate(items):
+            groups.setdefault(bucket_len(len(seg_data)), []).append(idx)
+
+        parts: Dict[int, Dict[int, np.ndarray]] = {}
+        counts: Dict[int, int] = {}
         pending = []
         for s_bucket, idxs in sorted(groups.items()):
             p_max = fe.vggish_num_patches(s_bucket)
             # Cap files per program so the CNN batch (b * p_max patches)
-            # stays within a bounded activation footprint for long files.
+            # stays within a bounded activation footprint.
             b_cap = max(
                 self._min_batch, min(self.file_batch, max(1, self.patch_chunk // p_max))
             )
             for c0 in range(0, len(idxs), b_cap):
-                chunk_idx = idxs[c0 : c0 + b_cap]
-                from .parallel.mesh import pad_to_shards
-
-                b = pad_to_shards(bucket_batch(len(chunk_idx), b_cap), self._min_batch)
-                wave = _pack_wave([prepped[i] for i in chunk_idx], b, s_bucket)
-                p_counts = [fe.vggish_num_patches(len(prepped[i])) for i in chunk_idx]
+                chunk = [items[j] for j in idxs[c0 : c0 + b_cap]]
+                b = self._bucket_batch(len(chunk), cap=b_cap)
+                wave = _pack_wave([seg for _, _, seg in chunk], b, s_bucket)
+                p_counts = [fe.vggish_num_patches(len(seg)) for _, _, seg in chunk]
                 emb_dev = _fused_vggish_step(
                     self.params, self._to_device(wave), p_max, self._forward
                 )  # [b, p_max, 128]
@@ -382,16 +403,20 @@ class EmbeddingPipeline:
                     for row, count in enumerate(p_counts):
                         mask[row, :count] = 1.0
                     sink(emb_dev.reshape(b * p_max, -1), jnp.asarray(mask.reshape(-1)))
-                    for i, count in zip(chunk_idx, p_counts):
-                        per_file[i] = count
+                    for (i, _, _), count in zip(chunk, p_counts):
+                        counts[i] = counts.get(i, 0) + count
                 else:
-                    pending.append((chunk_idx, p_counts, emb_dev))
-                self._tick(len(chunk_idx))
+                    pending.append((chunk, p_counts, emb_dev))
+                self._tick(sum(1 for _, seg, _ in chunk if seg == 0))
         # Materialize after all dispatches (device work overlaps host packing).
-        for chunk_idx, p_counts, emb_dev in pending:
+        for chunk, p_counts, emb_dev in pending:
             emb = np.asarray(emb_dev)
-            for row, (i, count) in enumerate(zip(chunk_idx, p_counts)):
-                per_file[i] = emb[row, :count]
+            for row, ((i, seg, _), count) in enumerate(zip(chunk, p_counts)):
+                parts.setdefault(i, {})[seg] = emb[row, :count]
+        for i, segs in parts.items():
+            per_file[i] = np.concatenate([segs[k] for k in sorted(segs)], axis=0)
+        for i, count in counts.items():
+            per_file[i] = count
         return per_file
 
     # ------------------------------------------------------------------

@@ -42,28 +42,34 @@ def download_url_to_file(
     digest = hashlib.sha256()
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(dst), suffix=".part")
     try:
-        with urllib.request.urlopen(req, timeout=timeout) as resp, os.fdopen(fd, "wb") as f:
-            total = int(resp.headers.get("Content-Length") or 0) or None
+        # fdopen first: the descriptor must be owned by the file object (and
+        # closed) even when urlopen raises before any byte arrives.
+        with os.fdopen(fd, "wb") as f:
             pbar = None
-            if progress:
-                try:
-                    from tqdm import tqdm
+            try:
+                with urllib.request.urlopen(req, timeout=timeout) as resp:
+                    total = int(resp.headers.get("Content-Length") or 0) or None
+                    if progress:
+                        try:
+                            from tqdm import tqdm
 
-                    pbar = tqdm(
-                        total=total, unit="B", unit_scale=True, desc=os.path.basename(dst)
-                    )
-                except ImportError:
-                    pass
-            while True:
-                buf = resp.read(chunk_size)
-                if not buf:
-                    break
-                f.write(buf)
-                digest.update(buf)
+                            pbar = tqdm(
+                                total=total, unit="B", unit_scale=True,
+                                desc=os.path.basename(dst),
+                            )
+                        except ImportError:
+                            pass
+                    while True:
+                        buf = resp.read(chunk_size)
+                        if not buf:
+                            break
+                        f.write(buf)
+                        digest.update(buf)
+                        if pbar is not None:
+                            pbar.update(len(buf))
+            finally:
                 if pbar is not None:
-                    pbar.update(len(buf))
-            if pbar is not None:
-                pbar.close()
+                    pbar.close()
         if sha256 is not None and digest.hexdigest() != sha256:
             raise RuntimeError(
                 f"sha256 mismatch for {url}: got {digest.hexdigest()}, expected {sha256}"

@@ -20,7 +20,12 @@ fixed 4096-sample blocks, independent channels, per-subframe best FIXED
 predictor (order 0-2) with single-partition Rice residuals, CRC-8/CRC-16
 footers. Output decodes with any conformant FLAC decoder.
 
-Pure NumPy/Python; the ThreadPool in audio_io parallelizes across files.
+Performance: the per-sample hot loops (partitioned-Rice residual decode and
+FIXED/LPC reconstruction) run in the native C library (native/fad_native.cpp,
+built on first use) — these also release the GIL inside ctypes calls, so
+audio_io's ThreadPool gets real overlap across files. Without a compiler the
+pure-Python fallbacks below are used: correct but slow (~1 us per residual;
+seconds per minute of LPC-coded audio) and GIL-serialized.
 """
 
 from __future__ import annotations
@@ -110,6 +115,16 @@ class _BitReader:
     def byte_position(self) -> int:
         return self.pos - self.nbits // 8
 
+    def bit_position(self) -> int:
+        return self.pos * 8 - self.nbits
+
+    def seek_bit(self, bit: int) -> None:
+        self.pos = bit >> 3
+        self.acc = 0
+        self.nbits = 0
+        if bit & 7:
+            self.read_uint(bit & 7)
+
 
 def _read_utf8_coded(br: _BitReader) -> int:
     """FLAC's UTF-8-style frame/sample number (up to 36 bits)."""
@@ -146,14 +161,31 @@ _FIXED_COEFS = {
 
 
 def _decode_residuals(br: _BitReader, block_size: int, order: int) -> np.ndarray:
+    # Native fast path (C bit reader; the pure-Python loop below costs ~1 us
+    # per residual). On any stream problem the C side returns None and the
+    # Python path re-parses to produce the detailed error.
+    from .. import native
+
+    res = native.flac_rice_residuals(br.data, br.bit_position(), block_size, order)
+    if res is not None:
+        out, new_pos = res
+        br.seek_bit(new_pos)
+        return out
     method = br.read_uint(2)
     if method > 1:
         raise ValueError(f"Reserved FLAC residual coding method {method}")
     param_bits, escape = (4, 0xF) if method == 0 else (5, 0x1F)
     part_order = br.read_uint(4)
     n_parts = 1 << part_order
-    if block_size % n_parts or block_size >> part_order <= order and n_parts == 1:
-        pass  # validated below by sample accounting
+    if block_size % n_parts:
+        raise ValueError(
+            f"Invalid FLAC partition order {part_order} for block size {block_size}"
+        )
+    if (block_size >> part_order) <= order and part_order > 0:
+        raise ValueError(
+            f"FLAC partition too small for predictor order {order} "
+            f"(block {block_size}, partition order {part_order})"
+        )
     out = np.empty(block_size - order, dtype=np.int64)
     idx = 0
     for p in range(n_parts):
@@ -189,38 +221,46 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
     elif sf_type == 1:  # VERBATIM
         out = np.array([br.read_sint(bps) for _ in range(block_size)], dtype=np.int64)
     elif 8 <= sf_type <= 12:  # FIXED
+        from .. import native
+
         order = sf_type - 8
         warm = [br.read_sint(bps) for _ in range(order)]
         res = _decode_residuals(br, block_size, order)
-        out = np.empty(block_size, dtype=np.int64)
-        out[:order] = warm
-        coefs = _FIXED_COEFS[order]
         if order == 0:
-            out = res
+            out = np.ascontiguousarray(res)
         else:
-            o = out
-            for i in range(order, block_size):
-                acc = res[i - order]
-                for j, c in enumerate(coefs):
-                    acc += c * o[i - 1 - j]
-                o[i] = acc
+            out = np.empty(block_size, dtype=np.int64)
+            out[:order] = warm
+            out[order:] = res
+            if not native.flac_reconstruct(out, order):
+                coefs = _FIXED_COEFS[order]
+                for i in range(order, block_size):
+                    acc = out[i]
+                    for j, c in enumerate(coefs):
+                        acc += c * out[i - 1 - j]
+                    out[i] = acc
     elif sf_type >= 32:  # LPC
+        from .. import native
+
         order = sf_type - 31
         warm = [br.read_sint(bps) for _ in range(order)]
         precision = br.read_uint(4) + 1
         if precision == 16:
             raise ValueError("Invalid FLAC LPC precision")
         shift = br.read_sint(5)
+        if shift < 0:
+            raise ValueError("Negative FLAC LPC shift")
         coefs = [br.read_sint(precision) for _ in range(order)]
         res = _decode_residuals(br, block_size, order)
         out = np.empty(block_size, dtype=np.int64)
         out[:order] = warm
-        o = out
-        for i in range(order, block_size):
-            acc = 0
-            for j in range(order):
-                acc += coefs[j] * o[i - 1 - j]
-            o[i] = res[i - order] + (acc >> shift)
+        out[order:] = res
+        if not native.flac_reconstruct(out, order, coefs=coefs, shift=shift):
+            for i in range(order, block_size):
+                acc = 0
+                for j in range(order):
+                    acc += int(coefs[j]) * int(out[i - 1 - j])
+                out[i] += acc >> shift
     else:
         raise ValueError(f"Reserved FLAC subframe type {sf_type}")
 
@@ -444,6 +484,19 @@ class _BitWriter:
         return out
 
 
+def _utf8_coded(v: int) -> bytes:
+    """FLAC's UTF-8-style coded number, minimal encoding (an n-byte sequence
+    carries 5n+1 payload bits: 7-n in the lead byte + 6 per continuation).
+    Inverse of _read_utf8_coded."""
+    if v < 0x80:
+        return bytes([v])
+    n = 2
+    while v >= (1 << (5 * n + 1)):
+        n += 1
+    lead = ((0xFF << (8 - n)) & 0xFF) | (v >> (6 * (n - 1)))
+    return bytes([lead] + [0x80 | ((v >> (6 * i)) & 0x3F) for i in range(n - 2, -1, -1)])
+
+
 def _fixed_residual(x: np.ndarray, order: int) -> np.ndarray:
     res = x
     for _ in range(order):
@@ -543,21 +596,8 @@ def write_flac(path: str, data: np.ndarray, sample_rate: int, bits: int = 16) ->
         hw.write(channels - 1, 4)  # independent channels
         hw.write({8: 1, 12: 2, 16: 4, 20: 5, 24: 6, 32: 7}[bits], 3)
         hw.write(0, 1)  # reserved
-        # UTF-8 coded frame number.
-        if frame_idx < 0x80:
-            hw.write(frame_idx, 8)
-        else:
-            octets = []
-            v = frame_idx
-            n = 1
-            while v >= (1 << (6 - n)) if n < 7 else False:
-                octets.append(0x80 | (v & 0x3F))
-                v >>= 6
-                n += 1
-            lead = ((0xFF << (8 - n)) & 0xFF) | v
-            hw.write(lead, 8)
-            for o in reversed(octets):
-                hw.write(o, 8)
+        for octet in _utf8_coded(frame_idx):
+            hw.write(octet, 8)
         hw.write(bs - 1, 16)
         header = hw.getvalue()
         header += bytes([_crc8(header)])

@@ -117,27 +117,40 @@ def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int 
         except Exception as e:  # fall through to the artifact path
             download_errors.append(f"bundle {bundle_url}: {e}")
 
+    def _import_extract_tool():
+        from importlib import import_module
+
+        return import_module("tools.extract_weights")
+
     artifact_path = os.path.join(ckpt_dir, cfg.reference_artifact)
     if not os.path.exists(artifact_path):
         artifact_url = registry.EXPORTED_MODEL_URLS.get(model_name)
         if artifact_url and not dl.offline():
+            # Check the conversion tool is importable BEFORE streaming a
+            # multi-hundred-MB torch artifact we could not convert anyway.
             try:
-                print(
-                    f"[FAD-TPU] Downloading {model_name} reference artifact to {ckpt_dir}..."
+                _import_extract_tool()
+            except ImportError as e:
+                download_errors.append(
+                    f"artifact {artifact_url}: skipped — conversion tool "
+                    f"(tools/extract_weights.py, requires torch) not importable: {e}"
                 )
-                dl.download_url_to_file(
-                    artifact_url,
-                    artifact_path,
-                    sha256=registry.EXPORTED_MODEL_SHA256.get(model_name),
-                )
-                print("[FAD-TPU] Download complete.")
-            except Exception as e:
-                download_errors.append(f"artifact {artifact_url}: {e}")
+            else:
+                try:
+                    print(
+                        f"[FAD-TPU] Downloading {model_name} reference artifact to {ckpt_dir}..."
+                    )
+                    dl.download_url_to_file(
+                        artifact_url,
+                        artifact_path,
+                        sha256=registry.EXPORTED_MODEL_SHA256.get(model_name),
+                    )
+                    print("[FAD-TPU] Download complete.")
+                except Exception as e:
+                    download_errors.append(f"artifact {artifact_url}: {e}")
     if os.path.exists(artifact_path):
         try:
-            from importlib import import_module
-
-            extract = import_module("tools.extract_weights")
+            extract = _import_extract_tool()
         except ImportError as e:
             raise FileNotFoundError(
                 f"Found reference artifact {artifact_path} but the conversion "

@@ -65,7 +65,87 @@ class TestRoundTrip:
         np.testing.assert_allclose(got, x, atol=1.0 / (1 << 23))
 
 
+def _build_lpc_flac(x_pcm, sr, coefs, shift, precision=12):
+    """Hand-assemble a single-frame FLAC whose subframe uses the LPC
+    predictor (our encoder only emits FIXED, so this covers the LPC path)."""
+    order = len(coefs)
+    n = len(x_pcm)
+    # Residuals per spec: res[i] = x[i] - (sum(c_j * x[i-1-j]) >> shift).
+    res = []
+    for i in range(order, n):
+        acc = sum(int(coefs[j]) * int(x_pcm[i - 1 - j]) for j in range(order))
+        res.append(int(x_pcm[i]) - (acc >> shift))
+
+    si = flac._BitWriter()
+    si.write(n, 16), si.write(n, 16), si.write(0, 48)
+    si.write(sr, 20), si.write(0, 3), si.write(15, 5), si.write(n, 36), si.write(0, 128)
+    body = si.getvalue()
+    out = [flac.FLAC_MAGIC, bytes([0x80]) + len(body).to_bytes(3, "big") + body]
+
+    hw = flac._BitWriter()
+    hw.write(0x3FFE, 14), hw.write(0, 2)
+    hw.write(7, 4), hw.write(0, 4), hw.write(0, 4), hw.write(4, 3), hw.write(0, 1)
+    hw.write(0, 8)  # frame 0
+    hw.write(n - 1, 16)
+    header = hw.getvalue()
+    header += bytes([flac._crc8(header)])
+
+    fw = flac._BitWriter()
+    fw.write(0, 1), fw.write(32 + order - 1, 6), fw.write(0, 1)
+    for i in range(order):
+        fw.write(int(x_pcm[i]), 16)
+    fw.write(precision - 1, 4)
+    fw.write(shift, 5)
+    for c in coefs:
+        fw.write(int(c), precision)
+    fw.write(0, 2)  # RICE method
+    fw.write(0, 4)  # partition order 0
+    k = flac._rice_k(np.asarray(res))
+    fw.write(k, 4)
+    for v in res:
+        z = (abs(v) << 1) - (1 if v < 0 else 0)
+        fw.write_unary(z >> k)
+        if k:
+            fw.write(z, k)
+    payload = fw.getvalue()
+    frame = header + payload
+    frame += int(flac._crc16(frame)).to_bytes(2, "big")
+    out.append(frame)
+    return b"".join(out)
+
+
 class TestDecoderFeatures:
+    def test_lpc_subframe(self, tmp_path):
+        rng = np.random.default_rng(9)
+        # A smooth signal so order-2 LPC residuals stay small.
+        t = np.arange(600)
+        x = np.round(3000 * np.sin(t * 0.05) + rng.integers(-3, 4, 600)).astype(np.int64)
+        coefs, shift = [3, -2], 1  # predicts (3*x1 - 2*x2) >> 1
+        blob = _build_lpc_flac(x, 16000, coefs, shift)
+        path = str(tmp_path / "lpc.flac")
+        with open(path, "wb") as f:
+            f.write(blob)
+        got, sr = flac.read_flac(path, dtype="int16")
+        assert sr == 16000
+        np.testing.assert_array_equal(got.astype(np.int64), x)
+
+    def test_lpc_python_fallback_matches_native(self, tmp_path, monkeypatch):
+        rng = np.random.default_rng(10)
+        t = np.arange(5000)
+        x = np.round(8000 * np.sin(t * 0.01) + rng.integers(-5, 6, 5000)).astype(np.int64)
+        blob = _build_lpc_flac(x, 8000, [2, -1], 0)
+        path = str(tmp_path / "lpc2.flac")
+        with open(path, "wb") as f:
+            f.write(blob)
+        a, _ = flac.read_flac(path, dtype="int16")
+
+        from frechet_audio_distance_exported_tpu import native
+
+        monkeypatch.setattr(native, "flac_rice_residuals", lambda *args: None)
+        monkeypatch.setattr(native, "flac_reconstruct", lambda *a, **k: False)
+        b, _ = flac.read_flac(path, dtype="int16")
+        np.testing.assert_array_equal(a, b)
+        np.testing.assert_array_equal(a.astype(np.int64), x)
     def test_frame_number_utf8_multibyte(self, tmp_path):
         """>128 frames forces multi-byte UTF-8 frame numbers."""
         sr = 8000
@@ -76,6 +156,21 @@ class TestDecoderFeatures:
         flac.write_flac(path, x, sr)
         got, _ = flac.read_flac(path, dtype="float32")
         assert got.shape[0] == frames
+
+    @pytest.mark.parametrize(
+        "v", [0, 1, 0x7F, 0x80, 0x7FF, 0x800, 2046, 2047, 2048, 0xFFFF, 0x10000,
+              (1 << 21) - 1, 1 << 21, (1 << 36) - 1],
+    )
+    def test_utf8_coded_roundtrip_minimal(self, v):
+        """Writer's UTF-8 coded numbers decode back AND are minimal (frame
+        2047 must be 2 bytes: DF BF, not an overlong 3-byte form)."""
+        enc = flac._utf8_coded(v)
+        br = flac._BitReader(enc, 0)
+        assert flac._read_utf8_coded(br) == v
+        # Minimality: an n-byte sequence is justified only if v needs it.
+        if len(enc) > 1:
+            n = len(enc)
+            assert v >= (1 << (5 * (n - 1) + 1)) if n > 2 else v >= 0x80
 
     def test_rejects_non_flac(self, tmp_path):
         path = str(tmp_path / "x.flac")

@@ -69,6 +69,27 @@ def test_i16_path_matches_f32_path(model, sr):
         np.testing.assert_array_equal(emb_i16, emb_f32)
 
 
+def test_vggish_long_file_segment_split_matches_unsplit():
+    """Files with more patches than patch_chunk are split at patch
+    boundaries into separate programs; VGGish framing is uncentered, so the
+    reassembled rows must match an unsplit run (same values up to the
+    batch-shape ulp floor) with identical shape/order."""
+    sr = 16000
+    rng = np.random.default_rng(7)
+    clip = (rng.standard_normal(sr * 10) * 0.1).astype(np.float32)  # 10 patches
+
+    whole = FrechetAudioDistance(model_name="vggish", weights="random")
+    split = FrechetAudioDistance(model_name="vggish", weights="random", patch_chunk=4)
+    a = whole.get_embeddings([clip], sr)
+    b = split.get_embeddings([clip], sr)  # segments of 4+4+2 patches
+    assert a.shape == b.shape == (10, 128)
+    np.testing.assert_allclose(a, b, atol=1e-5, rtol=1e-5)
+
+    # device_stats sink sees the same row count.
+    st = split.pipeline.accumulate_stats([clip], sr)
+    assert int(st.n) == 10
+
+
 def test_mixed_chunk_falls_back_to_f32():
     """A chunk mixing PCM16-exact and off-grid files must equal the same
     batch forced onto the f32 wire (mixed rows are dequantized on host).

@@ -109,8 +109,6 @@ def convert_encodec(model) -> dict:
 
 def convert_clap(model) -> dict:
     """ClapAudioModelWithProjection (or ClapModel) -> params for models/clap.py."""
-    import numpy as _  # noqa: F401 (keep torch out of module top level)
-
     audio_model = getattr(model, "audio_model", model)
     encoder = audio_model.audio_encoder
     projection = model.audio_projection
