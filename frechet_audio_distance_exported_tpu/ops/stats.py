@@ -60,7 +60,11 @@ def init_stats(dim: int, dtype=jnp.float32, shift: Optional[jnp.ndarray] = None)
 
 @jax.jit
 def update_stats(state: StreamingStats, x: jnp.ndarray, mask: jnp.ndarray) -> StreamingStats:
-    """Accumulate a [B, d] chunk; mask [B] zeroes padded rows."""
+    """Accumulate a [..., d] chunk; mask [...] zeroes padded rows (leading
+    dims are flattened inside the program, so callers can pass device arrays
+    in their natural [B, P, d] shape without an eager reshape dispatch)."""
+    x = x.reshape(-1, x.shape[-1])
+    mask = mask.reshape(-1).astype(x.dtype)
     xc = x - state.shift
     xm = xc * mask[:, None]
     return StreamingStats(
@@ -69,6 +73,23 @@ def update_stats(state: StreamingStats, x: jnp.ndarray, mask: jnp.ndarray) -> St
         ss=state.ss + jnp.matmul(xm.T, xc, preferred_element_type=jnp.float32),
         shift=state.shift,
     )
+
+
+@jax.jit
+def init_update_stats(x: jnp.ndarray, mask: jnp.ndarray) -> StreamingStats:
+    """First-chunk accumulation: compute the stabilizing shift (the chunk's
+    masked mean) and fold the chunk in — one XLA program instead of separate
+    shift/init/update dispatches."""
+    x = x.reshape(-1, x.shape[-1])
+    mask = mask.reshape(-1).astype(x.dtype)
+    shift = jnp.sum(x * mask[:, None], axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
+    state = StreamingStats(
+        n=jnp.zeros((), x.dtype),
+        s=jnp.zeros((x.shape[-1],), x.dtype),
+        ss=jnp.zeros((x.shape[-1], x.shape[-1]), x.dtype),
+        shift=shift,
+    )
+    return update_stats(state, x, mask)
 
 
 def finalize_stats(state: StreamingStats) -> Tuple[jnp.ndarray, jnp.ndarray]:

@@ -246,10 +246,11 @@ class EmbeddingPipeline:
         (reference: fad.py:400-403): a file whose preprocessing fails yields
         None instead of raising.
 
-        sink: optional fn(rows_device [N, d], mask_device [N] | None) — when
-        given, embedding rows are delivered on device (order unspecified) and
-        never copied to host; the return value holds per-file row counts
-        instead of arrays.
+        sink: optional fn(rows_device [..., d], mask_host [...] | None) —
+        when given, embedding rows are delivered on device (order
+        unspecified, natural batch shape, mask as a host array to avoid
+        per-chunk dispatches) and never copied to host; the return value
+        holds per-file row counts instead of arrays.
         """
         family = self.cfg.family
         self._pbar = None
@@ -300,11 +301,12 @@ class EmbeddingPipeline:
 
         def sink(rows, mask):
             if mask is None:
-                mask = jnp.ones((rows.shape[0],), jnp.float32)
+                mask = np.ones(rows.shape[:-1], np.float32)
             if box["state"] is None:
-                shift = jnp.sum(rows * mask[:, None], axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
-                box["state"] = stats_ops.init_stats(rows.shape[1], shift=shift)
-            box["state"] = stats_ops.update_stats(box["state"], rows, mask)
+                # Fused shift-init + first update: one program.
+                box["state"] = stats_ops.init_update_stats(rows, mask)
+            else:
+                box["state"] = stats_ops.update_stats(box["state"], rows, mask)
 
         self.embed_files(audio_list, sr, strict=False, sink=sink)
         return box["state"]
@@ -402,7 +404,7 @@ class EmbeddingPipeline:
                     mask = np.zeros((b, p_max), np.float32)
                     for row, count in enumerate(p_counts):
                         mask[row, :count] = 1.0
-                    sink(emb_dev.reshape(b * p_max, -1), jnp.asarray(mask.reshape(-1)))
+                    sink(emb_dev, mask)
                     for (i, _, _), count in zip(chunk, p_counts):
                         counts[i] = counts.get(i, 0) + count
                 else:
@@ -468,7 +470,10 @@ class EmbeddingPipeline:
                     target_sr, num_frames, i16_full_scale, self._forward,
                 )
                 if sink is not None:
-                    sink(emb_dev[: len(chunk_idx)], None)
+                    # Full batch + mask for the padded rows: no eager slice.
+                    row_mask = np.zeros((b,), np.float32)
+                    row_mask[: len(chunk_idx)] = 1.0
+                    sink(emb_dev, row_mask)
                     for i in chunk_idx:
                         per_file[i] = 1
                 else:
@@ -600,7 +605,7 @@ class EmbeddingPipeline:
                     frames[row] = prepped[i][1]
                     per_file[i] = prepped[i][1]
                 mask = (np.arange(t)[None, :] < frames[:, None]).astype(np.float32)
-                sink(emb_dev.reshape(b * t, -1), jnp.asarray(mask.reshape(-1)))
+                sink(emb_dev, mask)
             else:
                 pending.append((chunk_idx, emb_dev))
             self._tick(len(chunk_idx))
