@@ -119,7 +119,7 @@ def bench_clap(files_per_step=32):
     return files_per_step * CLIP_SECONDS / 60.0 / dt
 
 
-def bench_encodec24k(files_per_step=16):
+def _bench_encodec(sample_rate, causal, channels, files_per_step):
     import functools
 
     import jax
@@ -130,12 +130,22 @@ def bench_encodec24k(files_per_step=16):
         init_encodec_params,
     )
 
-    params = init_encodec_params(jax.random.PRNGKey(0), causal=True, channels=1)
-    s = int(CLIP_SECONDS * 24000)
-    step = jax.jit(functools.partial(encodec_forward, causal=True))
-    wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, 1, s), jnp.float32) * 0.1
+    params = init_encodec_params(jax.random.PRNGKey(0), causal=causal, channels=channels)
+    s = int(CLIP_SECONDS * sample_rate)
+    step = jax.jit(functools.partial(encodec_forward, causal=causal))
+    wave = jax.random.normal(
+        jax.random.PRNGKey(1), (files_per_step, channels, s), jnp.float32
+    ) * 0.1
     dt = _time_step(step, (params, wave))
     return files_per_step * CLIP_SECONDS / 60.0 / dt
+
+
+def bench_encodec24k(files_per_step=16):
+    return _bench_encodec(24000, causal=True, channels=1, files_per_step=files_per_step)
+
+
+def bench_encodec48k(files_per_step=16):
+    return _bench_encodec(48000, causal=False, channels=2, files_per_step=files_per_step)
 
 
 FAMILY_BENCHES = {
@@ -143,6 +153,7 @@ FAMILY_BENCHES = {
     "pann-16k": bench_pann16k,
     "clap": bench_clap,
     "encodec-24k": bench_encodec24k,
+    "encodec-48k": bench_encodec48k,
 }
 
 

@@ -61,6 +61,17 @@ def _pack_wave(rows, b: int, length: int, full_scale: float = 32768.0) -> np.nda
     return wave
 
 
+# Log-mel frames per mel-CNN program (batch x time): bounds the CNN's widest
+# intermediate to the measured-good v5e operating point (32 x 10 s @ 16 kHz).
+_MEL_FRAME_BUDGET = 32 * 1032
+
+# Hard single-file cap for PANN: one file's [64ch, T, 64] block-1 activations
+# must fit HBM alone (2^18 frames ~ 2.9 GB at float32 -> ~44 min @ 16 kHz,
+# ~2.3 h @ 32 kHz). The reference's export artifact capped T at 10016 frames
+# (~100 s); beyond our cap we fail loudly instead of OOMing the device.
+PANN_MAX_FRAMES = 1 << 18
+
+
 def bucket_len(n: int, minimum: int = 2048) -> int:
     """Smallest {2^k, 1.5*2^k} >= max(n, minimum): <=33% padding waste while
     keeping the number of distinct compiled shapes logarithmic."""
@@ -456,9 +467,17 @@ class EmbeddingPipeline:
         pending = []
         for key, idxs in sorted(groups.items()):
             length, target_sr, num_frames = plan_fn(key)
-            for c0 in range(0, len(idxs), self.file_batch):
-                chunk_idx = idxs[c0 : c0 + self.file_batch]
-                b = self._bucket_batch(len(chunk_idx))
+            # Bound the per-program activation footprint: the CNN's widest
+            # intermediate scales with b * num_frames, so long files shrink
+            # the batch (the measured-good operating point is 32 files of
+            # ~1032 frames -> a ~32k frame budget per program).
+            b_cap = max(
+                self._min_batch,
+                min(self.file_batch, max(1, _MEL_FRAME_BUDGET // num_frames)),
+            )
+            for c0 in range(0, len(idxs), b_cap):
+                chunk_idx = idxs[c0 : c0 + b_cap]
+                b = self._bucket_batch(len(chunk_idx), cap=b_cap)
                 wave = _pack_wave(
                     [prepped[i][0] for i in chunk_idx], b, length, i16_full_scale
                 )
@@ -500,6 +519,14 @@ class EmbeddingPipeline:
                 # the torch reference errors out on such inputs too.
                 raise ValueError(
                     f"Audio too short for PANN (grid {fe.pann_valid_time(t_i)} < 40 frames)"
+                )
+            if t_i > PANN_MAX_FRAMES:
+                raise ValueError(
+                    f"Audio too long for PANN ({t_i} log-mel frames > "
+                    f"{PANN_MAX_FRAMES}): a single file's activations would "
+                    f"exceed device memory. Split the file (PANN embeds one "
+                    f"row per file, so scoring chunks separately changes the "
+                    f"statistics rows, like the reference's >100 s guidance)."
                 )
             padded = fe.reflect_pad_host(data, n_fft)
             q = as_int16_exact(padded)

@@ -31,6 +31,26 @@ class TestVGGishEdges:
 
 
 class TestPANNEdges:
+    def test_long_file_shrinks_batch_and_works(self, sine_audio):
+        """A 2-minute file exceeds the per-program frame budget alongside a
+        full batch; embedding must still succeed (batch cap shrinks)."""
+        from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+        fad = FrechetAudioDistance(model_name="pann-16k", weights="random")
+        long = sine_audio(120.0, 440.0)  # ~12001 frames > 33024//3
+        short = sine_audio(1.0, 880.0)
+        out = fad.get_embeddings([long, short], 16000)
+        assert out.shape == (2, 2048)
+
+    def test_absurd_length_raises_cleanly(self):
+        from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+        from frechet_audio_distance_exported_tpu import pipeline as pl
+
+        fad = FrechetAudioDistance(model_name="pann-16k", weights="random")
+        too_long = np.zeros(((pl.PANN_MAX_FRAMES + 10) * 160,), np.float32)
+        with pytest.raises(ValueError, match="too long for PANN"):
+            fad._get_embedding_for_audio(too_long)
+
     def test_invalid_target_sr_raises(self, sine_audio):
         with pytest.raises(ValueError, match="target_sample_rate"):
             fe.waveform_to_logmel(sine_audio(1.0, 440.0), 16000, target_sample_rate=12345)
