@@ -29,15 +29,25 @@ def main(argv=None) -> int:
     ap.add_argument("--eval-embds-path", default=None)
     ap.add_argument("--device-stats", action="store_true",
                     help="stream statistics on device (no host embedding matrix)")
+    ap.add_argument("--mesh", action="store_true",
+                    help="shard batches over ALL local devices (1-D data mesh); "
+                         "combine with --device-stats for psum-reduced statistics")
     ap.add_argument("--verbose", action="store_true")
     ap.add_argument("--json", action="store_true", help="print a JSON record")
     args = ap.parse_args(argv)
+
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import data_mesh
+
+        mesh = data_mesh()
 
     fad = FrechetAudioDistance(
         ckpt_dir=args.ckpt_dir,
         model_name=args.model,
         verbose=args.verbose,
         weights=args.weights,
+        mesh=mesh,
     )
     score = fad.score(
         args.background_dir,
