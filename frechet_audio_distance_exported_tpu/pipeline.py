@@ -73,13 +73,14 @@ PANN_MAX_FRAMES = 1 << 18
 
 
 def bucket_len(n: int, minimum: int = 2048) -> int:
-    """Smallest {2^k, 1.5*2^k} >= max(n, minimum): <=33% padding waste while
-    keeping the number of distinct compiled shapes logarithmic."""
+    """Round up to a 1/16-relative grid (grain 2^(floor(log2 n) - 4)):
+    padding waste <= ~6% — padding is paid in wire bytes through the tunnel
+    AND in wasted frontend/CNN compute — while the distinct compiled shapes
+    stay bounded (<= 17 per octave of file length; uniform-duration corpora,
+    the common FAD case, compile exactly one)."""
     n = max(int(n), minimum)
-    p = 1 << (int(n - 1).bit_length())
-    if 3 * p // 4 >= n:
-        return 3 * p // 4
-    return p
+    grain = 1 << max(11, n.bit_length() - 5)
+    return ((n + grain - 1) // grain) * grain
 
 
 def bucket_batch(n: int, cap: int) -> int:
