@@ -92,7 +92,7 @@ def _lstm_cell(gates: jnp.ndarray, c_prev: jnp.ndarray):
     return jax.nn.sigmoid(o) * jnp.tanh(c), c
 
 
-def _slstm(p: dict, x: jnp.ndarray, unroll: int = 10) -> jnp.ndarray:
+def _slstm(p: dict, x: jnp.ndarray, unroll: int = 20) -> jnp.ndarray:
     """2-layer LSTM with the SEANet residual skip (y = lstm(x) + x).
 
     Throughput shaping (the LSTM dominates Encodec step time):
