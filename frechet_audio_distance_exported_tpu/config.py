@@ -42,6 +42,12 @@ def enable_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def exact_sqrtm() -> bool:
+    """FAD_TPU_EXACT_SQRTM=1 selects the reference's scipy sqrtm algorithm
+    bit-for-bit over the exact-but-faster Gram/eigh epilogues."""
+    return os.environ.get("FAD_TPU_EXACT_SQRTM", "") not in ("", "0")
+
+
 def model_dtype():
     """Model compute dtype: float32 (default, parity) or bfloat16
     (FAD_TPU_MODEL_DTYPE=bfloat16 — native MXU dtype, ~2x matmul throughput

@@ -172,7 +172,9 @@ class FrechetAudioDistance:
         dominated end-to-end score() time. Set FAD_TPU_EXACT_SQRTM=1 to run
         the reference's scipy algorithm bit-for-bit instead.
         """
-        if os.environ.get("FAD_TPU_EXACT_SQRTM", "") not in ("", "0"):
+        from .config import exact_sqrtm
+
+        if exact_sqrtm():
             return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2, eps=eps)
         return stats_ops.frechet_distance_eigh_np(mu1, sigma1, mu2, sigma2, eps=eps)
 
@@ -252,12 +254,11 @@ class FrechetAudioDistance:
             # Rank-deficient regime (fewer rows than dims, e.g. PANN's d=2048
             # over a typical corpus): the Gram-trick epilogue is exact and
             # avoids the d x d eigendecompositions entirely.
+            from .config import exact_sqrtm
+
             d = embds_background.shape[1]
             n_min = min(len(embds_background), len(embds_eval))
-            if (
-                1 < n_min < d
-                and os.environ.get("FAD_TPU_EXACT_SQRTM", "") in ("", "0")
-            ):
+            if 1 < n_min < d and not exact_sqrtm():
                 return stats_ops.frechet_distance_lowrank_np(embds_background, embds_eval)
 
             mu_background, sigma_background = self.calculate_embd_statistics(embds_background)

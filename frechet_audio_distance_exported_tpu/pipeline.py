@@ -51,13 +51,17 @@ def as_int16_exact(x: np.ndarray, full_scale: float = 32768.0) -> Optional[np.nd
 
 
 def _pack_wave(rows, b: int, length: int, full_scale: float = 32768.0) -> np.ndarray:
-    """[B, length] zero-padded batch buffer; int16 iff every row is int16."""
+    """Zero-padded batch buffer [b, *row_dims, length]; int16 iff every row
+    is int16 (rows are zero-padded along their last axis; mixed chunks are
+    dequantized on host into the float32 buffer)."""
     all_i16 = all(r.dtype == np.int16 for r in rows)
-    wave = np.zeros((b, length), np.int16 if all_i16 else np.float32)
+    wave = np.zeros(
+        (b,) + rows[0].shape[:-1] + (length,), np.int16 if all_i16 else np.float32
+    )
     for row, r in enumerate(rows):
         if r.dtype == np.int16 and not all_i16:
             r = r.astype(np.float32) / full_scale
-        wave[row, : len(r)] = r
+        wave[row, ..., : r.shape[-1]] = r
     return wave
 
 
@@ -104,7 +108,7 @@ def _fused_vggish_step(params, wave, num_patches: int, forward):
 
     Computes ALL P = patches(bucket) rows per file; the host keeps each
     file's first P_i rows after the (tiny) fetch. The wasted tail compute is
-    bounded by the <=33% bucket padding and is far cheaper than the extra
+    bounded by the ~6% bucket padding and is far cheaper than the extra
     dispatches of an on-device gather-select."""
     patches = fe.vggish_patches_batch(wave, num_patches)
     emb = forward(params, patches.reshape(-1, 96, 64))
@@ -618,13 +622,7 @@ class EmbeddingPipeline:
         for c0 in range(0, len(idxs), self.file_batch):
             chunk_idx = idxs[c0 : c0 + self.file_batch]
             b = self._bucket_batch(len(chunk_idx))
-            rows = [prepped[i][0] for i in chunk_idx]
-            all_i16 = all(r.dtype == np.int16 for r in rows)
-            wave = np.zeros((b, channels, max_samples), np.int16 if all_i16 else np.float32)
-            for row, r in enumerate(rows):
-                if r.dtype == np.int16 and not all_i16:
-                    r = r.astype(np.float32) / 32768.0
-                wave[row, :, : r.shape[-1]] = r
+            wave = _pack_wave([prepped[i][0] for i in chunk_idx], b, max_samples)
             emb_dev = self._forward(self.params, self._to_device(wave))  # [B, T, 128]
             if sink is not None:
                 t = emb_dev.shape[1]

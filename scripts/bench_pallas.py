@@ -12,25 +12,10 @@ from __future__ import annotations
 
 import os
 import sys
-import time
-from collections import deque
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-import numpy as np
-
-
-def _time(fn, args, n_iters=8, depth=2):
-    np.asarray(fn(*args))
-    queue = deque()
-    t0 = time.perf_counter()
-    for _ in range(n_iters):
-        queue.append(fn(*args))
-        if len(queue) >= depth:
-            np.asarray(queue.popleft())
-    while queue:
-        np.asarray(queue.popleft())
-    return (time.perf_counter() - t0) / n_iters
+from bench import _time_step as _time  # shared deferred-materialization timer
 
 
 def main():
