@@ -179,6 +179,35 @@ class TestDecoderFeatures:
         with pytest.raises(ValueError, match="Not a FLAC file"):
             flac.read_flac(path)
 
+    def test_garbage_after_magic_raises_not_hangs(self, tmp_path):
+        """Random bytes behind a valid magic must raise (ValueError/EOFError),
+        never loop or crash — decoder robustness on corrupt files."""
+        rng = np.random.default_rng(0)
+        for trial in range(20):
+            blob = flac.FLAC_MAGIC + bytes(rng.integers(0, 256, 512, dtype=np.uint8))
+            path = str(tmp_path / f"g{trial}.flac")
+            with open(path, "wb") as f:
+                f.write(blob)
+            with pytest.raises((ValueError, EOFError, IndexError, KeyError)):
+                flac.read_flac(path)
+
+    def test_truncated_valid_file_raises_or_returns_prefix(self, tmp_path):
+        """Truncating a valid file mid-frame must not hang; partial decode or
+        a clean error are both acceptable."""
+        sr = 8000
+        x = _sine(2.0, 300.0, sr)
+        full = str(tmp_path / "full.flac")
+        flac.write_flac(full, x, sr)
+        blob = open(full, "rb").read()
+        cut = str(tmp_path / "cut.flac")
+        with open(cut, "wb") as f:
+            f.write(blob[: len(blob) * 2 // 3])
+        try:
+            got, _ = flac.read_flac(cut)
+            assert got.shape[0] <= x.shape[0]
+        except (ValueError, EOFError):
+            pass
+
 
 class TestIntegration:
     def test_load_audio_flac(self, tmp_path):
