@@ -195,7 +195,7 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm
 
 def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     """soundfile.read-compatible entry point: native hook > soundfile > own
-    codecs (RIFF/WAVE + FLAC, sniffed by magic bytes)."""
+    codecs (RIFF/WAVE + FLAC + AIFF/AIFC + AU, sniffed by magic bytes)."""
     if _NATIVE_DECODER is not None and dtype in ("float32", "float64"):
         data, sr = _NATIVE_DECODER(fname)
         return _convert_dtype(data, dtype) if data.dtype != np.dtype(dtype) else data, sr
@@ -209,9 +209,17 @@ def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
         return read_flac(fname, dtype=dtype)
     if magic == b"RIFF":
         return read_wav(fname, dtype=dtype)
+    if magic == b"FORM":
+        from .aiff import read_aiff
+
+        return read_aiff(fname, dtype=dtype)
+    if magic == b".snd":
+        from .au import read_au
+
+        return read_au(fname, dtype=dtype)
     raise ValueError(
-        f"Unsupported audio format in {fname} (built-in codecs: WAV, FLAC; "
-        f"install soundfile for other libsndfile formats)"
+        f"Unsupported audio format in {fname} (built-in codecs: WAV, FLAC, "
+        f"AIFF/AIFC, AU; install soundfile for other libsndfile formats)"
     )
 
 
