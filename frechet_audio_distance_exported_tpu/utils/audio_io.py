@@ -195,7 +195,8 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm
 
 def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     """soundfile.read-compatible entry point: native hook > soundfile > own
-    codecs (RIFF/WAVE + FLAC + AIFF/AIFC + AU, sniffed by magic bytes)."""
+    codecs, sniffed by magic bytes (RIFF/WAVE + FLAC + AIFF/AIFC + AU pure,
+    Ogg Vorbis / Ogg Opus / MP3 via the system codec libraries)."""
     if _NATIVE_DECODER is not None and dtype in ("float32", "float64"):
         data, sr = _NATIVE_DECODER(fname)
         return _convert_dtype(data, dtype) if data.dtype != np.dtype(dtype) else data, sr
@@ -217,10 +218,38 @@ def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
         from .au import read_au
 
         return read_au(fname, dtype=dtype)
+    if magic == b"OggS":
+        return _read_ogg(fname, dtype)
+    if magic[:3] == b"ID3" or (len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0):
+        from .mp3 import read_mp3
+
+        return read_mp3(fname, dtype=dtype)
     raise ValueError(
         f"Unsupported audio format in {fname} (built-in codecs: WAV, FLAC, "
-        f"AIFF/AIFC, AU; install soundfile for other libsndfile formats)"
+        f"AIFF/AIFC, AU, Ogg Vorbis, Ogg Opus, MP3; install soundfile for "
+        f"other libsndfile formats)"
     )
+
+
+def _read_ogg(fname: str, dtype: str) -> Tuple[np.ndarray, int]:
+    """Dispatch an Ogg container by its first packet's codec signature."""
+    with open(fname, "rb") as f:
+        head = f.read(1024)
+    n_segs = head[26] if len(head) > 26 else 0
+    first_packet = head[27 + n_segs : 27 + n_segs + 8]
+    if first_packet.startswith(b"OpusHead"):
+        from .opusogg import read_ogg_opus
+
+        return read_ogg_opus(fname, dtype=dtype)
+    if first_packet[:7] == b"\x01vorbis":
+        from .vorbis import read_ogg_vorbis
+
+        return read_ogg_vorbis(fname, dtype=dtype)
+    if first_packet[:5] == b"\x7fFLAC":
+        raise ValueError(
+            f"Ogg-encapsulated FLAC is not supported (use native .flac): {fname}"
+        )
+    raise ValueError(f"Unrecognized Ogg codec in {fname}")
 
 
 def load_audio(fname: str, sample_rate: int, channels: int, dtype: str = "float32") -> np.ndarray:

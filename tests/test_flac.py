@@ -227,9 +227,9 @@ class TestIntegration:
         assert abs(out.shape[0] - 16000) <= 1
 
     def test_unknown_format_error_names_codecs(self, tmp_path):
-        path = str(tmp_path / "x.ogg")
+        path = str(tmp_path / "x.bin")
         with open(path, "wb") as f:
-            f.write(b"OggS" + b"\x00" * 64)
+            f.write(b"ZZZZ" + b"\x00" * 64)  # Ogg/MP3 now dispatch to real codecs
         with pytest.raises(ValueError, match="WAV, FLAC"):
             audio_io.sf_read(path)
 
