@@ -142,6 +142,26 @@ class TestMp3:
         assert out.ndim == 1 and _snr_db(x[:, 0], out) > 15.0
 
 
+@needs_vorbis
+@needs_mp3
+class TestScoreOnLossyDirs:
+    def test_score_mixed_lossy_dir(self, tmp_path):
+        """score() over a directory mixing .ogg and .mp3 files end to end
+        (reference behavior: any soundfile-readable dir works, fad.py:145)."""
+        from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+        sr = 16000
+        bg, ev = tmp_path / "bg", tmp_path / "ev"
+        bg.mkdir(), ev.mkdir()
+        for i in range(2):
+            audio_io.write_wav(str(bg / f"{i}.wav"), _sine(sr, 1.5, 440.0 + 5 * i), sr)
+        vorbismod.write_ogg_vorbis(str(ev / "a.ogg"), _sine(sr, 1.5, 880.0), sr)
+        mp3mod.write_mp3(str(ev / "b.mp3"), _sine(sr, 1.5, 885.0), sr)
+        fad = FrechetAudioDistance(model_name="vggish", weights="random")
+        score = fad.score(str(bg), str(ev))
+        assert score != -1 and np.isfinite(score) and score > 0
+
+
 @needs_opus
 class TestOpus:
     def test_roundtrip_mono_exact_length(self, tmp_path):
