@@ -218,6 +218,18 @@ def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
         from .au import read_au
 
         return read_au(fname, dtype=dtype)
+    if magic in (b"RF64", b"BW64"):
+        from .wav64 import read_rf64
+
+        return read_rf64(fname, dtype=dtype)
+    if magic == b"riff":  # Sony Wave64 GUID starts with lowercase fourcc
+        from .wav64 import read_w64
+
+        return read_w64(fname, dtype=dtype)
+    if magic == b"caff":
+        from .caf import read_caf
+
+        return read_caf(fname, dtype=dtype)
     if magic == b"OggS":
         return _read_ogg(fname, dtype)
     if magic[:3] == b"ID3" or (len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0):
@@ -225,9 +237,9 @@ def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
 
         return read_mp3(fname, dtype=dtype)
     raise ValueError(
-        f"Unsupported audio format in {fname} (built-in codecs: WAV, FLAC, "
-        f"AIFF/AIFC, AU, Ogg Vorbis, Ogg Opus, MP3; install soundfile for "
-        f"other libsndfile formats)"
+        f"Unsupported audio format in {fname} (built-in codecs: WAV, "
+        f"RF64/BW64, Wave64, FLAC, AIFF/AIFC, AU, CAF, Ogg Vorbis, Ogg Opus, "
+        f"MP3; install soundfile for other libsndfile formats)"
     )
 
 
@@ -246,9 +258,9 @@ def _read_ogg(fname: str, dtype: str) -> Tuple[np.ndarray, int]:
 
         return read_ogg_vorbis(fname, dtype=dtype)
     if first_packet[:5] == b"\x7fFLAC":
-        raise ValueError(
-            f"Ogg-encapsulated FLAC is not supported (use native .flac): {fname}"
-        )
+        from .flac import read_ogg_flac
+
+        return read_ogg_flac(fname, dtype=dtype)
     raise ValueError(f"Unrecognized Ogg codec in {fname}")
 
 

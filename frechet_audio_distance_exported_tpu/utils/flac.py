@@ -298,15 +298,31 @@ def read_flac(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     if streaminfo is None:
         raise ValueError(f"FLAC file missing STREAMINFO: {path}")
 
-    # Layout (bits from MSB): minbs 16, maxbs 16, minfs 24, maxfs 24 (= 80),
-    # sr 20, channels 3, bps 5, total 36, md5 128.
+    sr, channels, bps_stream, total_samples = _parse_streaminfo(streaminfo)
+    data = _decode_frame_stream(raw, pos, sr, channels, bps_stream, total_samples)
+    if channels == 1:
+        data = data[:, 0]
+    return _to_dtype(data, bps_stream, dtype), sr
+
+
+def _parse_streaminfo(streaminfo: bytes) -> Tuple[int, int, int, int]:
+    """STREAMINFO body -> (sample_rate, channels, bits_per_sample, total_samples).
+
+    Layout (bits from MSB): minbs 16, maxbs 16, minfs 24, maxfs 24 (= 80),
+    sr 20, channels 3, bps 5, total 36, md5 128."""
     si = int.from_bytes(streaminfo, "big")
     bits_total = len(streaminfo) * 8
     sr = (si >> (bits_total - 100)) & 0xFFFFF
     channels = ((si >> (bits_total - 103)) & 0x7) + 1
     bps_stream = ((si >> (bits_total - 108)) & 0x1F) + 1
     total_samples = (si >> (bits_total - 144)) & ((1 << 36) - 1)
+    return sr, channels, bps_stream, total_samples
 
+
+def _decode_frame_stream(
+    raw: bytes, pos: int, sr: int, channels: int, bps_stream: int, total_samples: int
+) -> np.ndarray:
+    """Decode consecutive FLAC frames from ``raw[pos:]`` -> [n, channels]."""
     br = _BitReader(raw, pos)
     blocks: List[np.ndarray] = []
     decoded = 0
@@ -321,6 +337,41 @@ def read_flac(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
     data = np.concatenate(blocks, axis=0) if blocks else np.zeros((0, channels), np.int64)
     if total_samples:
         data = data[:total_samples]
+    return data
+
+
+def read_ogg_flac(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
+    """Decode an Ogg-encapsulated FLAC file (Ogg FLAC mapping 1.0).
+
+    The first packet is ``0x7F 'FLAC' major minor nheaders(2BE)`` followed
+    by a verbatim native header ('fLaC' + STREAMINFO block); each audio
+    packet holds exactly one FLAC frame, so the concatenated packets decode
+    with the same frame loop as a native stream.
+    """
+    from .opusogg import ogg_packets
+
+    with open(path, "rb") as f:
+        raw = f.read()
+    packets, _ = ogg_packets(raw)
+    if not packets or len(packets[0]) < 51 or packets[0][:5] != b"\x7fFLAC":
+        raise ValueError(f"Not an Ogg FLAC stream: {path}")
+    first = packets[0]
+    (n_headers,) = struct.unpack_from(">H", first, 7)
+    if first[9:13] != FLAC_MAGIC:
+        raise ValueError(f"Ogg FLAC first packet missing native header: {path}")
+    # 4-byte metadata block header, then the 34-byte STREAMINFO body.
+    streaminfo = first[17:51]
+    sr, channels, bps_stream, total_samples = _parse_streaminfo(streaminfo)
+    # Skip the n_headers metadata packets (VORBIS_COMMENT etc.); when the
+    # count is 0 (unknown), skip consecutive packets whose first byte is a
+    # metadata block type (MSB-agnostic value != frame sync start 0xFF).
+    audio_start = 1 + n_headers
+    if n_headers == 0:
+        audio_start = 1
+        while audio_start < len(packets) and packets[audio_start][:1] != b"\xff":
+            audio_start += 1
+    body = b"".join(packets[audio_start:])
+    data = _decode_frame_stream(body, 0, sr, channels, bps_stream, total_samples)
     if channels == 1:
         data = data[:, 0]
     return _to_dtype(data, bps_stream, dtype), sr

@@ -230,7 +230,7 @@ class TestIntegration:
         path = str(tmp_path / "x.bin")
         with open(path, "wb") as f:
             f.write(b"ZZZZ" + b"\x00" * 64)  # Ogg/MP3 now dispatch to real codecs
-        with pytest.raises(ValueError, match="WAV, FLAC"):
+        with pytest.raises(ValueError, match="Unsupported audio format.*FLAC"):
             audio_io.sf_read(path)
 
     def test_score_on_flac_dirs(self, tmp_path):

@@ -142,6 +142,98 @@ class TestMp3:
         assert out.ndim == 1 and _snr_db(x[:, 0], out) > 15.0
 
 
+def _mux_ogg(path, packets):
+    """Author a real Ogg file from raw packets via libogg (tests only)."""
+    import ctypes
+
+    from frechet_audio_distance_exported_tpu.utils.vorbis import (
+        OggPacket,
+        OggPage,
+        _ogg,
+    )
+
+    ogg = _ogg()
+    stream = ctypes.create_string_buffer(4096)
+    ogg.ogg_stream_init(stream, 0xF1AC)
+    out = bytearray()
+    page = OggPage()
+    try:
+        for i, payload in enumerate(packets):
+            buf = (ctypes.c_ubyte * len(payload)).from_buffer_copy(payload)
+            op = OggPacket(
+                packet=ctypes.cast(buf, ctypes.POINTER(ctypes.c_ubyte)),
+                bytes=len(payload),
+                b_o_s=1 if i == 0 else 0,
+                e_o_s=1 if i == len(packets) - 1 else 0,
+                granulepos=0,
+                packetno=i,
+            )
+            ogg.ogg_stream_packetin(stream, ctypes.byref(op))
+            fn = ogg.ogg_stream_flush if i == 0 else ogg.ogg_stream_pageout
+            while fn(stream, ctypes.byref(page)):
+                out += ctypes.string_at(page.header, page.header_len)
+                out += ctypes.string_at(page.body, page.body_len)
+        while ogg.ogg_stream_flush(stream, ctypes.byref(page)):
+            out += ctypes.string_at(page.header, page.header_len)
+            out += ctypes.string_at(page.body, page.body_len)
+    finally:
+        ogg.ogg_stream_clear(stream)
+    with open(path, "wb") as f:
+        f.write(bytes(out))
+
+
+@pytest.mark.skipif(
+    not vorbismod.have_vorbis_encoder(), reason="libogg not available for muxing"
+)
+class TestOggFlac:
+    def _make_ogg_flac(self, tmp_path, x, sr):
+        import struct as _struct
+
+        from frechet_audio_distance_exported_tpu.utils import flac as flacmod
+
+        native = str(tmp_path / "native.flac")
+        flacmod.write_flac(native, x, sr)
+        with open(native, "rb") as f:
+            raw = f.read()
+        # Walk metadata blocks to find where frames start (write_flac puts
+        # STREAMINFO first).
+        pos = 4
+        while True:
+            last, size = raw[pos] >> 7, int.from_bytes(raw[pos + 1 : pos + 4], "big")
+            pos += 4 + size
+            if last:
+                break
+        first = b"\x7fFLAC\x01\x00" + _struct.pack(">H", 0) + raw[: 4 + 4 + 34]
+        frames = raw[pos:]
+        # Arbitrary packet splits exercise cross-packet frame reassembly.
+        audio_packets = [frames[i : i + 777] for i in range(0, len(frames), 777)]
+        path = str(tmp_path / "stream.oga")
+        _mux_ogg(path, [first] + audio_packets)
+        return path
+
+    def test_ogg_flac_roundtrip_lossless(self, tmp_path):
+        sr = 16000
+        x = np.round(_sine(sr, 0.7) * 32767.0) / 32768.0
+        path = self._make_ogg_flac(tmp_path, x, sr)
+        y, got_sr = audio_io.sf_read(path)  # OggS + 0x7fFLAC sniff
+        assert got_sr == sr and y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=0)  # FLAC is lossless
+
+    def test_ogg_flac_stereo(self, tmp_path):
+        sr = 22050
+        x = np.stack(
+            [
+                np.round(_sine(sr, 0.4) * 32767.0) / 32768.0,
+                np.round(_sine(sr, 0.4, 660.0) * 32767.0) / 32768.0,
+            ],
+            axis=1,
+        )
+        path = self._make_ogg_flac(tmp_path, x, sr)
+        y, got_sr = audio_io.sf_read(path)
+        assert got_sr == sr and y.shape == x.shape
+        np.testing.assert_allclose(y, x, atol=0)
+
+
 @needs_vorbis
 @needs_mp3
 class TestScoreOnLossyDirs:
