@@ -165,6 +165,18 @@ def _convert_dtype(samples: np.ndarray, dtype: str) -> np.ndarray:
     raise ValueError(f"Unsupported read dtype: {dtype}")
 
 
+def pcm16_payload(data: np.ndarray, byteorder: str = "<") -> bytes:
+    """Float PCM in [-1, 1] -> packed int16 bytes (round + clip).
+
+    Shared by every PCM16 container writer (WAV/RF64/W64/CAF) so the
+    quantization semantics stay identical across formats."""
+    return (
+        np.clip(np.round(np.asarray(data, np.float64).reshape(-1) * 32768.0), -32768, 32767)
+        .astype(f"{byteorder}i2")
+        .tobytes()
+    )
+
+
 def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm16") -> None:
     """Minimal WAV writer (PCM16 or float32), used by tests and tools."""
     data = np.asarray(data)
@@ -175,8 +187,7 @@ def write_wav(path: str, data: np.ndarray, sample_rate: int, subtype: str = "pcm
         channels = data.shape[1]
         frames = data.reshape(-1)
     if subtype == "pcm16":
-        payload = np.clip(np.round(np.asarray(frames, dtype=np.float64) * 32768.0), -32768, 32767
-                          ).astype("<i2").tobytes()
+        payload = pcm16_payload(frames)
         audio_format, bits = _WAVE_FORMAT_PCM, 16
     elif subtype == "float32":
         payload = np.asarray(frames, dtype="<f4").tobytes()

@@ -43,6 +43,8 @@ def read_caf(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
             if fourcc != b"data":
                 raise ValueError(f"Unbounded non-data CAF chunk: {path}")
             size = n - body_start
+        elif size < 0:  # any other negative size would stall the chunk walk
+            raise ValueError(f"Malformed CAF chunk size {size}: {path}")
         body = raw[body_start : body_start + size]
         if fourcc == b"desc":
             if len(body) < 32:
@@ -110,13 +112,11 @@ def _decode_lpcm(payload: bytes, flags: int, bits: int, path: str) -> np.ndarray
 
 def write_caf(path: str, data: np.ndarray, sample_rate: int) -> None:
     """Minimal CAF writer (big-endian PCM16) for tests/tooling."""
+    from .audio_io import pcm16_payload
+
     data = np.asarray(data)
     channels = 1 if data.ndim == 1 else data.shape[1]
-    payload = (
-        np.clip(np.round(np.asarray(data, np.float64).reshape(-1) * 32768.0), -32768, 32767)
-        .astype(">i2")
-        .tobytes()
-    )
+    payload = pcm16_payload(data, byteorder=">")
     desc = struct.pack(
         ">d4sIIIII", float(sample_rate), b"lpcm", 0, 2 * channels, 1, channels, 16
     )

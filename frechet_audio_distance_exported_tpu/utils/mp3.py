@@ -146,10 +146,35 @@ def read_mp3(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
             while True:
                 rc = lib.mpg123_read(handle, buf, len(buf), ctypes.byref(done))
                 if done.value:
-                    chunks.append(np.frombuffer(buf.raw[: done.value], np.float32).copy())
+                    # string_at copies only the produced bytes (buf.raw would
+                    # materialize the whole 256 KiB buffer every iteration).
+                    chunks.append(
+                        np.frombuffer(ctypes.string_at(buf, done.value), np.float32)
+                    )
                 if rc == _MPG123_DONE:
                     break
-                if rc not in (_MPG123_OK, _MPG123_NEW_FORMAT, _MPG123_NEED_MORE):
+                if rc == _MPG123_NEW_FORMAT:
+                    # Mid-stream format change ("Frankenstein" concatenated
+                    # streams): silently continuing would misinterleave
+                    # channels and mislabel the rate. Refresh and reject any
+                    # actual change.
+                    new_rate = ctypes.c_long(0)
+                    new_ch = ctypes.c_int(0)
+                    new_enc = ctypes.c_int(0)
+                    lib.mpg123_getformat(
+                        handle,
+                        ctypes.byref(new_rate),
+                        ctypes.byref(new_ch),
+                        ctypes.byref(new_enc),
+                    )
+                    if (new_rate.value, new_ch.value) != (rate.value, channels.value):
+                        raise ValueError(
+                            f"MP3 stream changes format mid-file "
+                            f"({rate.value} Hz/{channels.value}ch -> "
+                            f"{new_rate.value} Hz/{new_ch.value}ch): {path}"
+                        )
+                    continue
+                if rc not in (_MPG123_OK, _MPG123_NEED_MORE):
                     msg = lib.mpg123_plain_strerror(rc)
                     raise ValueError(
                         f"MP3 decode error in {path}: "

@@ -48,6 +48,12 @@ def _opus() -> Optional[ctypes.CDLL]:
         ctypes.c_int,
         ctypes.c_int,
     ]
+    lib.opus_packet_get_nb_samples.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int]
+    # opus_encoder_ctl is variadic; the request used here passes one pointer.
+    # This fixed declaration matches the SysV/AAPCS64 Linux ABIs (variadic
+    # and fixed args share registers); Darwin/arm64 would need libffi's
+    # variadic support instead — out of scope for this TPU-Linux target.
+    lib.opus_encoder_ctl.argtypes = [ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p]
     lib.opus_encoder_create.restype = ctypes.c_void_p
     lib.opus_encoder_create.argtypes = [
         ctypes.c_int,
@@ -180,7 +186,15 @@ def read_ogg_opus(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
         for packet in packets[2:]:
             got = lib.opus_decode_float(dec, packet, len(packet), pcm_ptr, _MAX_FRAME, 0)
             if got < 0:
-                continue  # skip corrupt packets, as opusfile's OP_HOLE path does
+                # Corrupt packet: decode packet-loss concealment for its
+                # nominal duration (opusfile's OP_HOLE path) — dropping it
+                # would shift the timeline and break the granule-based trim.
+                dur = lib.opus_packet_get_nb_samples(packet, len(packet), OPUS_SAMPLE_RATE)
+                if dur <= 0:
+                    dur = OPUS_SAMPLE_RATE // 50  # undecodable TOC: assume 20 ms
+                got = lib.opus_decode_float(dec, None, 0, pcm_ptr, dur, 0)
+                if got < 0:
+                    continue
             chunks.append(pcm[: got * channels].reshape(got, channels).copy())
     finally:
         lib.opus_decoder_destroy(dec)

@@ -113,13 +113,11 @@ def _w64_guid(fourcc: bytes) -> bytes:
 
 def write_rf64(path: str, data: np.ndarray, sample_rate: int) -> None:
     """Minimal RF64 writer (PCM16, always-ds64 form) for tests/tooling."""
+    from .audio_io import pcm16_payload
+
     data = np.asarray(data)
     channels = 1 if data.ndim == 1 else data.shape[1]
-    payload = (
-        np.clip(np.round(np.asarray(data, np.float64).reshape(-1) * 32768.0), -32768, 32767)
-        .astype("<i2")
-        .tobytes()
-    )
+    payload = pcm16_payload(data)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
     )
@@ -142,13 +140,11 @@ def write_rf64(path: str, data: np.ndarray, sample_rate: int) -> None:
 
 def write_w64(path: str, data: np.ndarray, sample_rate: int) -> None:
     """Minimal Wave64 writer (PCM16) for tests/tooling."""
+    from .audio_io import pcm16_payload
+
     data = np.asarray(data)
     channels = 1 if data.ndim == 1 else data.shape[1]
-    payload = (
-        np.clip(np.round(np.asarray(data, np.float64).reshape(-1) * 32768.0), -32768, 32767)
-        .astype("<i2")
-        .tobytes()
-    )
+    payload = pcm16_payload(data)
     fmt = struct.pack(
         "<HHIIHH", 1, channels, sample_rate, sample_rate * channels * 2, channels * 2, 16
     )

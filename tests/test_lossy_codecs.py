@@ -133,6 +133,21 @@ class TestMp3:
         y2, got_sr2 = audio_io.sf_read(tagged)  # ID3 sniff
         assert got_sr2 == sr and len(y2) == len(x)
 
+    def test_mid_stream_format_change_rejected(self, tmp_path):
+        # "Frankenstein" concatenated streams with different rates must
+        # raise, not silently decode misinterleaved audio at the wrong rate.
+        a, b = str(tmp_path / "a.mp3"), str(tmp_path / "b.mp3")
+        mp3mod.write_mp3(a, _sine(22050, 0.3), 22050)
+        mp3mod.write_mp3(
+            b, np.stack([_sine(44100, 0.3), _sine(44100, 0.3, 660.0)], 1), 44100
+        )
+        frank = str(tmp_path / "frank.mp3")
+        with open(frank, "wb") as f:
+            with open(a, "rb") as fa, open(b, "rb") as fb:
+                f.write(fa.read() + fb.read())
+        with pytest.raises(ValueError, match="format mid-file"):
+            mp3mod.read_mp3(frank)
+
     def test_load_audio_mono_mix(self, tmp_path):
         sr = 22050
         x = np.stack([_sine(sr, 0.5, 440.0), _sine(sr, 0.5, 440.0)], axis=1)
@@ -142,7 +157,7 @@ class TestMp3:
         assert out.ndim == 1 and _snr_db(x[:, 0], out) > 15.0
 
 
-def _mux_ogg(path, packets):
+def _mux_ogg(path, packets, granules=None):
     """Author a real Ogg file from raw packets via libogg (tests only)."""
     import ctypes
 
@@ -159,13 +174,15 @@ def _mux_ogg(path, packets):
     page = OggPage()
     try:
         for i, payload in enumerate(packets):
-            buf = (ctypes.c_ubyte * len(payload)).from_buffer_copy(payload)
+            buf = (ctypes.c_ubyte * max(len(payload), 1)).from_buffer_copy(
+                payload or b"\x00"
+            )
             op = OggPacket(
                 packet=ctypes.cast(buf, ctypes.POINTER(ctypes.c_ubyte)),
                 bytes=len(payload),
                 b_o_s=1 if i == 0 else 0,
                 e_o_s=1 if i == len(packets) - 1 else 0,
-                granulepos=0,
+                granulepos=0 if granules is None else granules[i],
                 packetno=i,
             )
             ogg.ogg_stream_packetin(stream, ctypes.byref(op))
@@ -297,6 +314,25 @@ class TestOpus:
         assert packets[1][:8] == b"OpusTags"
         assert len(packets) > 50  # 20 ms frames over 2 s
         assert final_granule > len(x)  # includes pre-skip
+
+    def test_corrupt_packet_conceals_without_timeline_shift(self, tmp_path):
+        # A corrupt audio packet must be concealed (PLC), not dropped —
+        # dropping would shift the timeline and break the granule trim.
+        sr, x = 48000, _sine(48000, 1.0)
+        path = str(tmp_path / "tone.opus")
+        opusogg.write_ogg_opus(path, x, sr)
+        with open(path, "rb") as f:
+            raw = f.read()
+        packets, final_granule = opusogg.ogg_packets(raw)
+        mid = 2 + (len(packets) - 2) // 2
+        packets[mid] = b""  # undecodable packet
+        granules = [0] * len(packets)
+        granules[-1] = final_granule
+        broken = str(tmp_path / "broken.opus")
+        _mux_ogg(broken, packets, granules)
+        y, got_sr = opusogg.read_ogg_opus(broken)
+        assert got_sr == 48000
+        assert y.shape == x.shape  # length preserved through concealment
 
     def test_multistream_family_rejected(self, tmp_path):
         head = b"OpusHead" + bytes([1, 6]) + b"\x00\x00" + b"\x80\xbb\x00\x00" + b"\x00\x00" + bytes([1])

@@ -153,6 +153,16 @@ class TestCaf:
         ref = g711.ulaw_decode(mu).astype(np.float32) / 32768.0
         np.testing.assert_allclose(y, ref, atol=0)
 
+    def test_negative_chunk_size_rejected(self, tmp_path):
+        # A negative non--1 chunk size must raise, not stall the chunk walk.
+        raw = caf.CAF_MAGIC + struct.pack(">HH", 1, 0)
+        raw += b"free" + struct.pack(">q", -12) + b"\x00" * 16
+        path = str(tmp_path / "neg.caf")
+        with open(path, "wb") as f:
+            f.write(raw)
+        with pytest.raises(ValueError, match="chunk size"):
+            caf.read_caf(path)
+
     def test_unknown_codec_rejected(self, tmp_path):
         desc = struct.pack(">d4sIIIII", 44100.0, b"aac ", 0, 0, 0, 2, 0)
         raw = caf.CAF_MAGIC + struct.pack(">HH", 1, 0)
