@@ -65,6 +65,25 @@ def test_vggish_pt2_roundtrip(tmp_path):
     np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
 
 
+def test_vggish_pth_roundtrip(tmp_path):
+    """Upstream torchvggish-hub-style plain state dict (.pth): same
+    features/embeddings Sequential indices as the reference artifact."""
+    from frechet_audio_distance_exported_tpu.models.vggish import vggish_forward
+    from frechet_audio_distance_exported_tpu.utils.weights import unflatten_params, flatten_params
+
+    torch.manual_seed(3)
+    model = _build_torch_vggish().eval()
+    path = str(tmp_path / "vggish-10086976.pth")
+    torch.save(model.state_dict(), path)
+
+    params = unflatten_params(flatten_params(ew.extract_vggish(path)))
+    x = np.random.default_rng(3).standard_normal((2, 96, 64)).astype(np.float32)
+    ours = np.asarray(vggish_forward(params, x))
+    with torch.no_grad():
+        theirs = model(torch.from_numpy(x[:, None])).numpy()
+    np.testing.assert_allclose(ours, theirs, rtol=1e-4, atol=1e-4)
+
+
 def test_pann_pth_roundtrip(tmp_path):
     """Upstream-style {'model': state_dict} checkpoint with the reference's
     module names (export_pann.py:166-195)."""

@@ -81,7 +81,17 @@ def _load_state_dict(artifact_path: str):
 
 
 def extract_vggish(artifact_path: str):
-    sd, _ = _load_state_dict(artifact_path)
+    """Accepts the reference .pt2 artifact OR an upstream torchvggish hub
+    checkpoint (.pth plain state dict, e.g. vggish-10086976.pth from
+    harritaylor/torchvggish) — both use the same features/embeddings
+    Sequential indices (reference: export_vggish.py:36-61)."""
+    if artifact_path.endswith(".pth"):
+        import torch
+
+        ckpt = torch.load(artifact_path, map_location="cpu", weights_only=False)
+        sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+    else:
+        sd, _ = _load_state_dict(artifact_path)
     sd = _strip_prefixes(sd)
     conv_idx = [0, 3, 6, 8, 11, 13]
     return {
