@@ -10,10 +10,15 @@ Extended modes (logged to stderr, VERDICT r1 #5):
                                # (vggish, pann-16k, clap, encodec-24k)
   python bench.py --e2e        # warm end-to-end score() throughput per family
 
-Timing notes: block_until_ready lies through the axon tunnel, so every
-measurement forces a device->host materialization (np.asarray), 2-deep
-pipelined so result transfer overlaps the next step's compute — the same
-deferred-materialization pattern the production pipeline uses.
+Timing notes: the step benches time the fused embed+stats device program of
+score(device_stats=True) — frontend -> model -> masked streaming (N, Σx,
+Σxxᵀ) accumulator, the production TPU-native scoring path where embeddings
+never leave the chip. Completion of each step is forced by fetching the
+accumulator's scalar count (4 bytes), 2-deep pipelined, because
+block_until_ready lies through the axon tunnel and a full-embedding fetch
+would time the ~62 MB/s tunnel instead of the chip (it dominated and its
+run-to-run variance swamped real changes in rounds 1-2; --e2e still
+measures the full host roundtrip).
 """
 
 from __future__ import annotations
@@ -29,20 +34,37 @@ CLIP_SECONDS = 10.0
 PATCH_SECONDS = 0.96
 
 
-def _time_step(step_fn, args, n_iters=6, depth=2):
-    """Seconds per step with deferred materialization (see module docstring)."""
-    import numpy as np
-
-    np.asarray(step_fn(*args))  # compile + warmup
+def _time_stats_step(step_fn, acc, args, n_iters=6, depth=2):
+    """Seconds per fused embed+stats step. The accumulator is carried on
+    device; each iteration's 4-byte acc.n fetch forces the previous step's
+    completion (see module docstring)."""
+    acc = step_fn(acc, *args)  # compile + warmup
+    float(acc.n)
     queue = deque()
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        queue.append(step_fn(*args))
+        acc = step_fn(acc, *args)
+        queue.append(acc.n)
         if len(queue) >= depth:
-            np.asarray(queue.popleft())
+            float(queue.popleft())
     while queue:
-        np.asarray(queue.popleft())
+        float(queue.popleft())
     return (time.perf_counter() - t0) / n_iters
+
+
+def _shipped_dtype(family, params):
+    """Apply the production model-compute dtype (config.model_dtype — bf16 on
+    TPU by default, f32 elsewhere/forced) so the step benches measure the
+    shipped configuration. Returns (dtype, cast params)."""
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.config import model_dtype
+    from frechet_audio_distance_exported_tpu.pipeline import cast_model_params
+
+    dt = model_dtype()
+    if dt != jnp.float32:
+        params = cast_model_params(family, params, dt)
+    return dt, params
 
 
 def bench_vggish(files_per_step=256):
@@ -55,17 +77,22 @@ def bench_vggish(files_per_step=256):
     )
     from frechet_audio_distance_exported_tpu.ops import frontends as fe
 
+    from frechet_audio_distance_exported_tpu.ops import stats
+
     params = init_vggish_params(jax.random.PRNGKey(0))
+    cdt, params = _shipped_dtype("vggish", params)
     s = int(CLIP_SECONDS * fe.VGGISH_SAMPLE_RATE)
     num_patches = fe.vggish_num_patches(s)
 
     @jax.jit
-    def step(params, wave):
+    def step(acc, params, wave):
         patches = fe.vggish_patches_batch(wave, num_patches)
-        return vggish_forward(params, patches.reshape(-1, 96, 64))
+        emb = vggish_forward(params, patches.reshape(-1, 96, 64).astype(cdt))
+        emb = emb.astype(jnp.float32)
+        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, s), jnp.float32) * 0.1
-    dt = _time_step(step, (params, wave))
+    dt = _time_stats_step(step, stats.init_stats(128), (params, wave))
     patches_per_sec = files_per_step * num_patches / dt
     return patches_per_sec * PATCH_SECONDS / 60.0
 
@@ -78,7 +105,10 @@ def bench_pann16k(files_per_step=32):
     from frechet_audio_distance_exported_tpu.models.pann import init_pann_params, pann_forward
     from frechet_audio_distance_exported_tpu.ops import frontends as fe
 
+    from frechet_audio_distance_exported_tpu.ops import stats
+
     params = init_pann_params(jax.random.PRNGKey(0))
+    cdt, params = _shipped_dtype("pann", params)
     sr = 16000
     cfg = fe.PANN_CONFIGS[sr]
     n_fft, hop = cfg["window_size"], cfg["hop_size"]
@@ -87,13 +117,14 @@ def bench_pann16k(files_per_step=32):
     length = grid * hop + n_fft
 
     @jax.jit
-    def step(params, wave, n_valid):
+    def step(acc, params, wave, n_valid):
         mel = fe.pann_logmel_batch(wave, sr, grid, n_valid)
-        return pann_forward(params, mel)
+        emb = pann_forward(params, mel.astype(cdt)).astype(jnp.float32)
+        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, length), jnp.float32) * 0.1
     n_valid = jnp.full((files_per_step,), t_i, jnp.int32)
-    dt = _time_step(step, (params, wave, n_valid))
+    dt = _time_stats_step(step, stats.init_stats(2048), (params, wave, n_valid))
     return files_per_step * CLIP_SECONDS / 60.0 / dt
 
 
@@ -104,23 +135,27 @@ def bench_clap(files_per_step=32):
     from frechet_audio_distance_exported_tpu.models.clap import clap_forward, init_clap_params
     from frechet_audio_distance_exported_tpu.ops import frontends as fe
 
+    from frechet_audio_distance_exported_tpu.ops import stats
+
     params = init_clap_params(jax.random.PRNGKey(0))
+    cdt, params = _shipped_dtype("clap", params)
     n_fft = fe.PANN_CONFIGS[fe.CLAP_SAMPLE_RATE]["window_size"]
     length = fe.CLAP_MAX_SAMPLES + n_fft  # reflect-padded 10 s @ 48 kHz
 
     @jax.jit
-    def step(params, wave, n_valid):
+    def step(acc, params, wave, n_valid):
         mel = fe.pann_logmel_batch(wave, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES, n_valid)
-        return clap_forward(params, mel)
+        emb = clap_forward(params, mel.astype(cdt)).astype(jnp.float32)
+        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, length), jnp.float32) * 0.1
     n_valid = jnp.full((files_per_step,), fe.CLAP_TIME_FRAMES, jnp.int32)
-    dt = _time_step(step, (params, wave, n_valid))
+    dt = _time_stats_step(step, stats.init_stats(512), (params, wave, n_valid))
     return files_per_step * CLIP_SECONDS / 60.0 / dt
 
 
 def _bench_encodec(sample_rate, causal, channels, files_per_step):
-    import functools
+    import os
 
     import jax
     import jax.numpy as jnp
@@ -131,12 +166,23 @@ def _bench_encodec(sample_rate, causal, channels, files_per_step):
     )
 
     params = init_encodec_params(jax.random.PRNGKey(0), causal=causal, channels=channels)
+    if causal or os.environ.get("FAD_TPU_MODEL_DTYPE"):
+        # shipped default: 24k runs mixed (conv bf16, LSTM f32); 48k stays
+        # f32 unless FAD_TPU_MODEL_DTYPE opts in (see pipeline.py rationale)
+        _, params = _shipped_dtype("encodec", params)
     s = int(CLIP_SECONDS * sample_rate)
-    step = jax.jit(functools.partial(encodec_forward, causal=causal))
+
+    from frechet_audio_distance_exported_tpu.ops import stats
+
+    @jax.jit
+    def step(acc, params, wave):
+        emb = encodec_forward(params, wave, causal=causal)
+        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
+
     wave = jax.random.normal(
         jax.random.PRNGKey(1), (files_per_step, channels, s), jnp.float32
     ) * 0.1
-    dt = _time_step(step, (params, wave))
+    dt = _time_stats_step(step, stats.init_stats(128), (params, wave))
     return files_per_step * CLIP_SECONDS / 60.0 / dt
 
 

@@ -49,13 +49,25 @@ def exact_sqrtm() -> bool:
 
 
 def model_dtype():
-    """Model compute dtype: float32 (default, parity) or bfloat16
-    (FAD_TPU_MODEL_DTYPE=bfloat16 — native MXU dtype, ~2x matmul throughput
-    and half the weight HBM traffic; expect FAD differences at the 1e-2
-    level). Frontends and statistics always stay float32."""
+    """Model compute dtype. FAD_TPU_MODEL_DTYPE=float32|bfloat16 forces it;
+    unset, the default is platform-aware: bfloat16 on TPU (the MXU's native
+    dtype — ~2x matmul throughput and half the activation/weight HBM
+    traffic), float32 elsewhere (CPU tests and the reference-parity harness).
+
+    The bfloat16 default is backed by the round-2 v5e study (PARITY.md): FAD
+    deltas vs the float32 path are 1.1e-7 (vggish), 4.4e-7 (pann-16k),
+    3.9e-5 (clap) on identical dirs — orders below the 1e-3 parity bar.
+    Encodec runs MIXED precision in this mode (conv stages bf16, LSTM +
+    output projection float32, pipeline.cast_model_params): full bf16
+    compounds error over the LSTM's ~750 sequential steps and destroys the
+    score. Frontends and statistics always stay float32."""
     import jax.numpy as jnp
 
-    name = os.environ.get("FAD_TPU_MODEL_DTYPE", "float32").lower()
+    name = os.environ.get("FAD_TPU_MODEL_DTYPE", "").lower()
     if name in ("bfloat16", "bf16"):
         return jnp.bfloat16
-    return jnp.float32
+    if name in ("float32", "f32", "fp32"):
+        return jnp.float32
+    import jax
+
+    return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32

@@ -100,11 +100,18 @@ def group_norm_full(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: 
     over every non-batch axis, then apply per-channel affine (trailing axis).
 
     Matches torch nn.GroupNorm(1, C) as used by Encodec's time_group_norm.
+    The reduction spans every non-batch element (B x T x C can be ~10^7), so
+    it always runs in float32 — a bfloat16 accumulation there would lose the
+    mean entirely; the result re-enters x.dtype.
     """
+    xf = x.astype(jnp.float32)
     axes = tuple(range(1, x.ndim))
-    mean = jnp.mean(x, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * gamma + beta
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps) * gamma.astype(jnp.float32) + beta.astype(
+        jnp.float32
+    )
+    return out.astype(x.dtype)
 
 
 def layer_norm(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

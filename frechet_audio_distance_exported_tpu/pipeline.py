@@ -25,6 +25,7 @@ Row ordering of the concatenated embedding matrix matches the reference
 from __future__ import annotations
 
 import functools
+import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -92,6 +93,29 @@ def bucket_batch(n: int, cap: int) -> int:
     if n >= cap:
         return cap
     return 1 << (int(n - 1).bit_length() if n > 1 else 0)
+
+
+def cast_model_params(family: str, params, dtype):
+    """Cast a model's param pytree to the compute dtype (bfloat16 mode).
+
+    Encodec runs MIXED precision: full bf16 is numerically unusable there
+    (error compounds over the LSTM's ~750 sequential steps — measured round
+    2: FAD 918 vs 3e-4 on identical dirs), so the LSTM and the final
+    projection keep float32 params and encodec_forward re-enters f32 at the
+    LSTM (measured 1.77x step throughput on v5e, max |emb| error 5e-4).
+    """
+    keep_f32 = {"lstm", "conv_out"} if family == "encodec" else set()
+
+    def _cast(tree):
+        if isinstance(tree, dict):
+            return {k: (v if k in keep_f32 else _cast(v)) for k, v in tree.items()}
+        if isinstance(tree, list):
+            return [_cast(v) for v in tree]
+        if hasattr(tree, "dtype") and jnp.issubdtype(tree.dtype, jnp.floating):
+            return tree.astype(dtype)
+        return tree
+
+    return _cast(params)
 
 
 # ---------------------------------------------------------------------------
@@ -163,28 +187,29 @@ class EmbeddingPipeline:
         from .config import model_dtype
 
         dtype = model_dtype()
-        if dtype != jnp.float32 and self.cfg.family == "encodec":
-            # Measured on v5e (round 2): bf16 error compounds over the
-            # LSTM's 750 sequential steps and destroys the score (FAD 918 vs
-            # 3e-4 on the same dirs). Other families degrade gracefully;
-            # this one must not run in bf16.
-            print(
-                "[FAD-TPU] Warning: FAD_TPU_MODEL_DTYPE=bfloat16 is numerically "
-                "unusable for Encodec (LSTM recurrence error compounding); "
-                "keeping float32 for this model."
-            )
+        if (
+            dtype != jnp.float32
+            and self.cfg.family == "encodec"
+            and self.cfg.sample_rate == 48000
+            and not os.environ.get("FAD_TPU_MODEL_DTYPE")
+        ):
+            # encodec-48k stays float32 under the PLATFORM default: its
+            # mixed-bf16 FAD delta measured 8.3e-4 relative (7.2e-2 absolute
+            # on an 86.8-score pair) — too close to the 1e-3 parity bar to
+            # flip silently. FAD_TPU_MODEL_DTYPE=bfloat16 opts in explicitly
+            # (encodec-24k measured 1.1e-6 absolute and defaults to mixed).
             dtype = jnp.float32
         if dtype != jnp.float32:
             # bfloat16 inference: cast weights once, cast inputs per call,
             # upcast outputs so statistics stay float32.
-            self.params = jax.tree_util.tree_map(
-                lambda x: x.astype(dtype) if jnp.issubdtype(x.dtype, jnp.floating) else x,
-                self.params,
-            )
+            self.params = cast_model_params(self.cfg.family, self.params, dtype)
             inner = self._forward
+            cast_input = self.cfg.family != "encodec"  # encodec casts internally
 
-            def bf16_forward(params, x, _inner=inner, _dtype=dtype):
-                return _inner(params, x.astype(_dtype)).astype(jnp.float32)
+            def bf16_forward(params, x, _inner=inner, _dtype=dtype, _ci=cast_input):
+                if _ci:
+                    x = x.astype(_dtype)
+                return _inner(params, x).astype(jnp.float32)
 
             self._forward = bf16_forward
 

@@ -25,6 +25,55 @@ def test_bf16_vggish_close_to_f32(monkeypatch, sine_audio):
     assert np.median(rel) < 0.1, np.median(rel)
 
 
+def test_model_dtype_platform_default(monkeypatch):
+    """Unset, the model dtype is platform-aware: float32 on CPU (this test
+    harness), bfloat16 on TPU (measured within the parity bar, PARITY.md).
+    The env var forces either."""
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.config import model_dtype
+
+    monkeypatch.delenv("FAD_TPU_MODEL_DTYPE", raising=False)
+    assert model_dtype() == jnp.float32  # cpu backend here
+    monkeypatch.setenv("FAD_TPU_MODEL_DTYPE", "bfloat16")
+    assert model_dtype() == jnp.bfloat16
+    monkeypatch.setenv("FAD_TPU_MODEL_DTYPE", "float32")
+    assert model_dtype() == jnp.float32
+
+
+def test_bf16_encodec_mixed_precision(monkeypatch):
+    """Encodec in bf16 mode runs MIXED precision: conv stages bf16, LSTM and
+    conv_out float32 (full bf16 compounds error over ~750 recurrence steps).
+    Embeddings must stay close to the f32 path — the round-2 full-bf16 mode
+    produced order-1 embedding errors; mixed stays ~1e-4."""
+    import jax
+    import numpy as np
+
+    from frechet_audio_distance_exported_tpu.models.encodec import init_encodec_params
+    from frechet_audio_distance_exported_tpu.pipeline import EmbeddingPipeline
+
+    rng = np.random.RandomState(0)
+    clips = [rng.randn(24000 * 2).astype(np.float32) * 0.1 for _ in range(2)]
+    params = init_encodec_params(jax.random.PRNGKey(0), causal=True, channels=1)
+
+    p32 = EmbeddingPipeline("encodec-24k", params)
+    e32 = np.concatenate(p32.embed_files(clips, 24000), axis=0)
+
+    monkeypatch.setenv("FAD_TPU_MODEL_DTYPE", "bfloat16")
+    p16 = EmbeddingPipeline("encodec-24k", params)
+    # LSTM and conv_out params must not have been downcast.
+    leaves = jax.tree_util.tree_leaves(p16.params["lstm"])
+    assert all(l.dtype == np.float32 for l in leaves)
+    assert p16.params["conv_out"]["w"].dtype == np.float32
+    assert p16.params["conv_in"]["w"].dtype == "bfloat16"
+
+    e16 = np.concatenate(p16.embed_files(clips, 24000), axis=0)
+    assert e16.dtype == np.float32
+    err = np.abs(e32 - e16)
+    assert err.max() < 5e-3, err.max()
+    assert err.mean() < 5e-4, err.mean()
+
+
 def test_bf16_identical_dirs_zero(monkeypatch, tmp_path, sine_audio):
     import os
 
