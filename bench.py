@@ -26,7 +26,6 @@ from __future__ import annotations
 import json
 import sys
 import time
-from collections import deque
 
 sys.path.insert(0, ".")
 
@@ -34,21 +33,22 @@ CLIP_SECONDS = 10.0
 PATCH_SECONDS = 0.96
 
 
-def _time_stats_step(step_fn, acc, args, n_iters=6, depth=2):
+def _time_stats_step(step_fn, acc, args, n_iters=8):
     """Seconds per fused embed+stats step. The accumulator is carried on
-    device; each iteration's 4-byte acc.n fetch forces the previous step's
-    completion (see module docstring)."""
+    device (each step consumes the previous step's state, so the device
+    executes them back to back); all n_iters steps are dispatched
+    asynchronously and the final 4-byte acc.n fetch forces the whole chain —
+    a per-step fetch would put the tunnel's RTT (~15-30 ms) on the critical
+    path and cap every family at the RTT, which is exactly what the round-2
+    tunnel-timed records did (see module docstring)."""
+    acc0 = acc
     acc = step_fn(acc, *args)  # compile + warmup
     float(acc.n)
-    queue = deque()
+    acc = acc0
     t0 = time.perf_counter()
     for _ in range(n_iters):
         acc = step_fn(acc, *args)
-        queue.append(acc.n)
-        if len(queue) >= depth:
-            float(queue.popleft())
-    while queue:
-        float(queue.popleft())
+    float(acc.n)
     return (time.perf_counter() - t0) / n_iters
 
 

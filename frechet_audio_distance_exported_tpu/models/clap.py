@@ -138,17 +138,21 @@ def _window_attention(p: dict, x: jnp.ndarray, heads: int, ws: int, mask: np.nda
     q = jnp.transpose(q, (0, 2, 1, 3)) * (head_dim ** -0.5)
     k = jnp.transpose(k, (0, 2, 3, 1))
     v = jnp.transpose(v, (0, 2, 1, 3))
+    # Attention logits, bias, and softmax run in float32 (preferred_element_type
+    # promotes the QK^T accumulation); probabilities re-enter x.dtype so that
+    # in bfloat16 mode the PV matmul and everything downstream stay bf16 — an
+    # f32 result here would re-promote every later matmul in the block.
     attn = jnp.matmul(q, k, preferred_element_type=jnp.float32, precision=matmul_precision())
     idx = _relative_position_index(ws)
     bias = p["rel_bias"][jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
-    attn = attn + jnp.transpose(bias, (2, 0, 1))[None]
+    attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(jnp.float32)
     if mask is not None:
         nw = mask.shape[0]
         attn = attn.reshape(b_ // nw, nw, heads, n, n) + jnp.asarray(mask)[None, :, None]
         attn = attn.reshape(b_, heads, n, n)
-    attn = jax.nn.softmax(attn, axis=-1)
+    attn = jax.nn.softmax(attn, axis=-1).astype(x.dtype)
     out = jnp.matmul(attn, v, preferred_element_type=jnp.float32, precision=matmul_precision())
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, c)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_, n, c).astype(x.dtype)
     return common.linear(out, p["proj"]["w"], p["proj"]["b"])
 
 
@@ -224,7 +228,9 @@ def clap_forward(params: dict, log_mel: jnp.ndarray) -> jnp.ndarray:
         if "downsample" in stage:
             x = _patch_merging(stage["downsample"], x, res)
     # Final norm + global token mean (HTSAT latent avgpool) + projection.
-    x = common.layer_norm(x, **params["norm"])
+    # The embedding tail is tiny ([B, 768] onward) — run it in float32 even
+    # in bf16 mode so the token mean and L2 normalization keep full precision.
+    x = common.layer_norm(x, **params["norm"]).astype(jnp.float32)
     emb = jnp.mean(x, axis=1)  # [B, 768]
     proj = params["projection"]
     emb = jax.nn.relu(common.linear(emb, **proj["fc1"]))
