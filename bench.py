@@ -97,7 +97,7 @@ def bench_vggish(files_per_step=256):
     return patches_per_sec * PATCH_SECONDS / 60.0
 
 
-def bench_pann16k(files_per_step=32):
+def bench_pann16k(files_per_step=128):  # shipped TPU default (pipeline.py)
     import jax
     import jax.numpy as jnp
     import numpy as np

@@ -29,6 +29,7 @@ Output: [B, 512] L2-normalized embeddings
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -36,6 +37,16 @@ import numpy as np
 
 from . import common
 from ..config import matmul_precision
+
+
+def _use_fused_attention() -> bool:
+    """Fused Pallas window-attention on TPU (measured v5e, stage-1 shapes:
+    2.39 ms vs 4.09 ms for the XLA assembly — the XLA lowering materializes
+    ~600 MB of 24-element-minor-dim intermediates per block). FAD_TPU_FUSED_ATTN=0
+    falls back to the XLA path (also used on CPU, where Mosaic is unavailable)."""
+    if os.environ.get("FAD_TPU_FUSED_ATTN", "1") in ("0", "false"):
+        return False
+    return jax.default_backend() in ("tpu", "axon")
 
 EMBEDDING_SIZE = 512
 SPEC_SIZE = 256
@@ -156,23 +167,57 @@ def _window_attention(p: dict, x: jnp.ndarray, heads: int, ws: int, mask: np.nda
     return common.linear(out, p["proj"]["w"], p["proj"]["b"])
 
 
+def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: int):
+    """x + proj(attn(LN1(x))) via the fused Pallas kernel. The kernel adds
+    the residual in window space; rolls/partitions are permutations, so
+    permuting back yields exactly shortcut + attention."""
+    from ..ops.pallas_window_attn import window_attention_fused
+
+    b, l, c = x.shape
+    ws = WINDOW_SIZE
+    n = ws * ws
+    nw = (res // ws) ** 2
+    h = x.reshape(b, res, res, c)
+    if shift:
+        h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+        mask = jnp.asarray(_shift_attn_mask(res, ws, shift), jnp.float32)
+    else:
+        mask = jnp.zeros((1, n, n), jnp.float32)
+    windows = _window_partition(h, ws)
+    idx = _relative_position_index(ws)
+    bias = p["rel_bias"][jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
+    bias = jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)
+    out = window_attention_fused(
+        windows, p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
+        bias, mask, p["norm1"]["gamma"], p["norm1"]["beta"],
+        heads=heads, num_windows=nw, group=min(2, nw),
+    )
+    h = _window_reverse(out, ws, res, res)
+    if shift:
+        h = jnp.roll(h, (shift, shift), axis=(1, 2))
+    return h.reshape(b, l, c)
+
+
 def _swin_block(p: dict, x: jnp.ndarray, res: int, heads: int, shift: int) -> jnp.ndarray:
     """x: [B, L, C], pre-norm W-MSA/SW-MSA + MLP with residuals."""
     b, l, c = x.shape
     ws = WINDOW_SIZE
-    shortcut = x
-    h = common.layer_norm(x, **p["norm1"]).reshape(b, res, res, c)
-    if shift:
-        h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
-        mask = _shift_attn_mask(res, ws, shift)
+    if _use_fused_attention():
+        x = _attention_half_fused(p, x, res, heads, shift)
     else:
-        mask = None
-    windows = _window_partition(h, ws)
-    attn = _window_attention(p, windows, heads, ws, mask)
-    h = _window_reverse(attn, ws, res, res)
-    if shift:
-        h = jnp.roll(h, (shift, shift), axis=(1, 2))
-    x = shortcut + h.reshape(b, l, c)
+        shortcut = x
+        h = common.layer_norm(x, **p["norm1"]).reshape(b, res, res, c)
+        if shift:
+            h = jnp.roll(h, (-shift, -shift), axis=(1, 2))
+            mask = _shift_attn_mask(res, ws, shift)
+        else:
+            mask = None
+        windows = _window_partition(h, ws)
+        attn = _window_attention(p, windows, heads, ws, mask)
+        h = _window_reverse(attn, ws, res, res)
+        if shift:
+            h = jnp.roll(h, (shift, shift), axis=(1, 2))
+        x = shortcut + h.reshape(b, l, c)
     m = common.layer_norm(x, **p["norm2"])
     m = jax.nn.gelu(common.linear(m, **p["mlp"]["fc1"]), approximate=False)
     m = common.linear(m, **p["mlp"]["fc2"])

@@ -66,10 +66,6 @@ def _pack_wave(rows, b: int, length: int, full_scale: float = 32768.0) -> np.nda
     return wave
 
 
-# Log-mel frames per mel-CNN program (batch x time): bounds the CNN's widest
-# intermediate to the measured-good v5e operating point (32 x 10 s @ 16 kHz).
-_MEL_FRAME_BUDGET = 32 * 1032
-
 # Hard single-file cap for PANN: one file's [64ch, T, 64] block-1 activations
 # must fit HBM alone (2^18 frames ~ 2.9 GB at float32 -> ~44 min @ 16 kHz,
 # ~2.3 h @ 32 kHz). The reference's export artifact capped T at 10016 frames
@@ -172,9 +168,21 @@ class EmbeddingPipeline:
             # patches separately via patch_chunk). Encodec peaks at B=16
             # (9.75 ms/file vs 15.1 at B=32 with the fused-scan LSTM —
             # the recurrent matmul's HBM traffic grows with B while the
-            # sequential chain length stays T).
-            file_batch = 16 if self.cfg.family == "encodec" else 32
+            # sequential chain length stays T). PANN keeps scaling past 32
+            # on TPU (round 2d, bf16: 353 -> 508.5 audio-min/s at B=128;
+            # CLAP does not: 207 -> 189 at B=64) — CPU stays at 32 where
+            # the f32 activation footprint matters more than utilization.
+            if self.cfg.family == "encodec":
+                file_batch = 16
+            elif self.cfg.family == "pann" and jax.default_backend() in ("tpu", "axon"):
+                file_batch = 128
+            else:
+                file_batch = 32
         self.file_batch = file_batch
+        # Per-program mel-frame budget scales with the batch so explicit
+        # file_batch choices take effect (32 files x ~1032 frames was the
+        # round-1 operating point; the cap still shrinks b for long files).
+        self._mel_frame_budget = self.file_batch * 1032
         self.mesh = None
         self._min_batch = 1
         self.patch_chunk = patch_chunk
@@ -503,7 +511,7 @@ class EmbeddingPipeline:
             # ~1032 frames -> a ~32k frame budget per program).
             b_cap = max(
                 self._min_batch,
-                min(self.file_batch, max(1, _MEL_FRAME_BUDGET // num_frames)),
+                min(self.file_batch, max(1, self._mel_frame_budget // num_frames)),
             )
             for c0 in range(0, len(idxs), b_cap):
                 chunk_idx = idxs[c0 : c0 + b_cap]
