@@ -33,7 +33,7 @@ CLIP_SECONDS = 10.0
 PATCH_SECONDS = 0.96
 
 
-def _time_stats_step(step_fn, acc, args, n_iters=8):
+def _time_stats_step(step_fn, acc, args, n_iters=24):
     """Seconds per fused embed+stats step. The accumulator is carried on
     device (each step consumes the previous step's state, so the device
     executes them back to back); all n_iters steps are dispatched

@@ -63,11 +63,17 @@ def model_dtype():
     score. Frontends and statistics always stay float32."""
     import jax.numpy as jnp
 
-    name = os.environ.get("FAD_TPU_MODEL_DTYPE", "").lower()
+    name = os.environ.get("FAD_TPU_MODEL_DTYPE", "").strip().lower()
     if name in ("bfloat16", "bf16"):
         return jnp.bfloat16
     if name in ("float32", "f32", "fp32"):
         return jnp.float32
+    if name:
+        # A typo must not silently fall through to the platform default (and
+        # would also defeat pipeline.py's encodec-48k explicit-opt-in check).
+        raise ValueError(
+            f"FAD_TPU_MODEL_DTYPE={name!r}: expected 'float32' or 'bfloat16'"
+        )
     import jax
 
     return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32

@@ -39,12 +39,28 @@ from . import common
 from ..config import matmul_precision
 
 
+# Set by pipeline.set_mesh: pallas_call has no SPMD partitioning rule, so
+# under a data mesh (plain-jit GSPMD sharding) the fused kernel must yield
+# to the XLA assembly, which GSPMD partitions cleanly over the batch.
+_mesh_active = False
+
+
+def set_mesh_mode(active: bool) -> None:
+    global _mesh_active
+    _mesh_active = bool(active)
+
+
 def _use_fused_attention() -> bool:
     """Fused Pallas window-attention on TPU (measured v5e, stage-1 shapes:
     2.39 ms vs 4.09 ms for the XLA assembly — the XLA lowering materializes
     ~600 MB of 24-element-minor-dim intermediates per block). FAD_TPU_FUSED_ATTN=0
-    falls back to the XLA path (also used on CPU, where Mosaic is unavailable)."""
-    if os.environ.get("FAD_TPU_FUSED_ATTN", "1") in ("0", "false"):
+    falls back to the XLA path (also used on CPU, where Mosaic is unavailable,
+    and under a device mesh, where pallas_call cannot be GSPMD-partitioned)."""
+    if os.environ.get("FAD_TPU_FUSED_ATTN", "1").strip().lower() in (
+        "0", "false", "off", "no",
+    ):
+        return False
+    if _mesh_active:
         return False
     return jax.default_backend() in ("tpu", "axon")
 
@@ -124,6 +140,14 @@ def _shift_attn_mask(res: int, ws: int, shift: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
+def _gathered_rel_bias(rel_bias: jnp.ndarray, ws: int, heads: int) -> jnp.ndarray:
+    """[(2ws-1)^2, heads] table -> [heads, N, N] f32 additive bias."""
+    n = ws * ws
+    idx = _relative_position_index(ws)
+    bias = rel_bias[jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
+    return jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)
+
+
 def _window_partition(x: jnp.ndarray, ws: int) -> jnp.ndarray:
     """[B, H, W, C] -> [B * nW, ws*ws, C]."""
     b, h, w, c = x.shape
@@ -154,9 +178,7 @@ def _window_attention(p: dict, x: jnp.ndarray, heads: int, ws: int, mask: np.nda
     # in bfloat16 mode the PV matmul and everything downstream stay bf16 — an
     # f32 result here would re-promote every later matmul in the block.
     attn = jnp.matmul(q, k, preferred_element_type=jnp.float32, precision=matmul_precision())
-    idx = _relative_position_index(ws)
-    bias = p["rel_bias"][jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
-    attn = attn + jnp.transpose(bias, (2, 0, 1))[None].astype(jnp.float32)
+    attn = attn + _gathered_rel_bias(p["rel_bias"], ws, heads)[None]
     if mask is not None:
         nw = mask.shape[0]
         attn = attn.reshape(b_ // nw, nw, heads, n, n) + jnp.asarray(mask)[None, :, None]
@@ -184,9 +206,7 @@ def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: 
     else:
         mask = jnp.zeros((1, n, n), jnp.float32)
     windows = _window_partition(h, ws)
-    idx = _relative_position_index(ws)
-    bias = p["rel_bias"][jnp.asarray(idx.reshape(-1))].reshape(n, n, heads)
-    bias = jnp.transpose(bias, (2, 0, 1)).astype(jnp.float32)
+    bias = _gathered_rel_bias(p["rel_bias"], ws, heads)
     out = window_attention_fused(
         windows, p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
         bias, mask, p["norm1"]["gamma"], p["norm1"]["beta"],

@@ -30,63 +30,6 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
-
-
-def _kernel_blockdiag(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
-                      mask_ref, g1_ref, b1_ref, out_ref, kbd_ref, vbd_ref, *,
-                      heads: int, group: int):
-    """v2: per window, scatter k/v head slices onto a block-diagonal
-    [H*N, C] VMEM scratch so every head's logits come from ONE
-    [N, C] x [H*N, C]^T contraction (and PV from its mirror) — two
-    medium MXU dots per window instead of 2*H tiny ones. Zero rows off
-    the diagonal guarantee no cross-head leakage."""
-    g_win, n, c = x_ref.shape
-    hd = c // heads
-    x = x_ref[:].reshape(g_win * n, c)
-
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
-    h = h * g1_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
-    h = h.astype(x.dtype)
-
-    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
-    qkv = qkv.reshape(g_win, n, 3 * c)
-
-    kbd_ref[:] = jnp.zeros_like(kbd_ref)
-    vbd_ref[:] = jnp.zeros_like(vbd_ref)
-    for g in range(group):
-        for hh in range(heads):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            kbd_ref[g, hh * n:(hh + 1) * n, sl] = qkv[g, :, c:2 * c][:, sl]
-            vbd_ref[g, hh * n:(hh + 1) * n, sl] = qkv[g, :, 2 * c:][:, sl]
-
-    scale = jnp.float32(hd) ** -0.5
-    outs = []
-    for g in range(group):
-        q_g = qkv[g, :, :c]
-        logits = jax.lax.dot_general(
-            q_g, kbd_ref[g], (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale  # [N, H*N]
-        logits = logits.reshape(n, heads, n)
-        logits = logits + jnp.transpose(bias_ref[:], (1, 0, 2))
-        logits = logits + mask_ref[g if mask_ref.shape[0] > 1 else 0][:, None, :]
-        p = jax.nn.softmax(logits, axis=-1).astype(x.dtype).reshape(n, heads * n)
-        outs.append(
-            jax.lax.dot_general(
-                p, vbd_ref[g], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(x.dtype)  # [N, C]
-        )
-    attn = jnp.stack(outs, axis=0).reshape(g_win * n, c)
-
-    y = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-    y = y + bproj_ref[:].astype(jnp.float32)
-    out_ref[:] = (x.astype(jnp.float32) + y).astype(x.dtype).reshape(g_win, n, c)
 
 
 def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
@@ -139,7 +82,7 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("heads", "num_windows", "group", "interpret", "variant")
+    jax.jit, static_argnames=("heads", "num_windows", "group", "interpret")
 )
 def window_attention_fused(
     x_windows: jnp.ndarray,
@@ -155,7 +98,6 @@ def window_attention_fused(
     num_windows: int,
     group: int = 8,
     interpret: bool = False,
-    variant: str = "loop",
 ) -> jnp.ndarray:
     """x + proj(attn(LN(x))) over partitioned windows. mask: [nW, N, N] f32
     (zeros for unshifted layers); num_windows = windows per image (nW)."""
@@ -168,19 +110,9 @@ def window_attention_fused(
         mask_cells = num_windows // group
         mask_block, mask_index = group, (lambda i: (i % mask_cells, 0, 0))
 
-    if variant == "blockdiag":
-        kernel = functools.partial(_kernel_blockdiag, heads=heads, group=group)
-        scratch = [
-            pltpu.VMEM((group, heads * n, c), x_windows.dtype),
-            pltpu.VMEM((group, heads * n, c), x_windows.dtype),
-        ]
-    else:
-        kernel = functools.partial(_kernel, heads=heads, group=group)
-        scratch = []
     return pl.pallas_call(
-        kernel,
+        functools.partial(_kernel, heads=heads, group=group),
         grid=(bw // group,),
-        scratch_shapes=scratch,
         in_specs=[
             pl.BlockSpec((group, n, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((c, 3 * c), lambda i: (0, 0)),

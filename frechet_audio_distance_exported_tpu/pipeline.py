@@ -179,10 +179,6 @@ class EmbeddingPipeline:
             else:
                 file_batch = 32
         self.file_batch = file_batch
-        # Per-program mel-frame budget scales with the batch so explicit
-        # file_batch choices take effect (32 files x ~1032 frames was the
-        # round-1 operating point; the cap still shrinks b for long files).
-        self._mel_frame_budget = self.file_batch * 1032
         self.mesh = None
         self._min_batch = 1
         self.patch_chunk = patch_chunk
@@ -256,6 +252,13 @@ class EmbeddingPipeline:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
+        if self.cfg.family == "clap":
+            # pallas_call has no SPMD partitioning rule; under a mesh the
+            # fused attention kernel must yield to the XLA assembly, which
+            # GSPMD partitions cleanly over the sharded batch.
+            from .models import clap
+
+            clap.set_mesh_mode(mesh is not None)
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, replicated)
@@ -509,9 +512,13 @@ class EmbeddingPipeline:
             # intermediate scales with b * num_frames, so long files shrink
             # the batch (the measured-good operating point is 32 files of
             # ~1032 frames -> a ~32k frame budget per program).
+            # Per-program mel-frame budget scales with file_batch so explicit
+            # (and mesh-raised) batch choices take effect; 32 x ~1032 frames
+            # was the round-1 operating point, and the cap still shrinks the
+            # batch for long files.
             b_cap = max(
                 self._min_batch,
-                min(self.file_batch, max(1, self._mel_frame_budget // num_frames)),
+                min(self.file_batch, max(1, (self.file_batch * 1032) // num_frames)),
             )
             for c0 in range(0, len(idxs), b_cap):
                 chunk_idx = idxs[c0 : c0 + b_cap]

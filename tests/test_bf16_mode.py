@@ -41,6 +41,37 @@ def test_model_dtype_platform_default(monkeypatch):
     assert model_dtype() == jnp.float32
 
 
+def test_model_dtype_rejects_typos(monkeypatch):
+    """A typo'd FAD_TPU_MODEL_DTYPE must raise, not silently fall through to
+    the platform default (which would also defeat the encodec-48k opt-in)."""
+    import pytest as _pytest
+
+    from frechet_audio_distance_exported_tpu.config import model_dtype
+
+    monkeypatch.setenv("FAD_TPU_MODEL_DTYPE", "fp16")
+    with _pytest.raises(ValueError, match="FAD_TPU_MODEL_DTYPE"):
+        model_dtype()
+
+
+def test_fused_attention_disabled_under_mesh():
+    """pallas_call cannot be GSPMD-partitioned: setting a mesh on a CLAP
+    pipeline must force the XLA attention path (clap.set_mesh_mode)."""
+    import jax
+
+    from frechet_audio_distance_exported_tpu.models import clap
+    from frechet_audio_distance_exported_tpu.parallel.mesh import data_mesh
+    from frechet_audio_distance_exported_tpu.pipeline import EmbeddingPipeline
+
+    pipe = EmbeddingPipeline("clap", clap.init_clap_params(jax.random.PRNGKey(0)))
+    try:
+        pipe.set_mesh(data_mesh())
+        assert clap._mesh_active and not clap._use_fused_attention()
+        pipe.set_mesh(None)
+        assert not clap._mesh_active
+    finally:
+        clap.set_mesh_mode(False)
+
+
 def test_bf16_encodec_mixed_precision(monkeypatch):
     """Encodec in bf16 mode runs MIXED precision: conv stages bf16, LSTM and
     conv_out float32 (full bf16 compounds error over ~750 recurrence steps).
