@@ -147,6 +147,10 @@ def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.nd
     h = jnp.swapaxes(x, 1, 2)  # NWC
     h = _sconv(params["conv_in"], h, kernel=7, stride=1, causal=causal)
     for ratio, stage in zip(RATIOS, params["stages"]):
+        # Stage boundary: follow the stage's weight dtype (no-op in uniform
+        # modes; enables per-stage precision mixes without f32<->bf16
+        # ping-pong inside a stage).
+        h = h.astype(stage["res"]["conv1"]["w"].dtype)
         h = _res_block(stage["res"], h, causal)
         h = jax.nn.elu(h)
         h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)

@@ -172,9 +172,12 @@ class EmbeddingPipeline:
             # on TPU (round 2d, bf16: 353 -> 508.5 audio-min/s at B=128;
             # CLAP does not: 207 -> 189 at B=64) — CPU stays at 32 where
             # the f32 activation footprint matters more than utilization.
+            on_tpu = jax.default_backend() in ("tpu", "axon")
             if self.cfg.family == "encodec":
-                file_batch = 16
-            elif self.cfg.family == "pann" and jax.default_backend() in ("tpu", "axon"):
+                # Mixed precision moved the 24k optimum to B=32 (79.7 ->
+                # 91.1 audio-min/s); 48k runs f32 where B=16 still wins.
+                file_batch = 32 if (on_tpu and self.cfg.sample_rate == 24000) else 16
+            elif self.cfg.family == "pann" and on_tpu:
                 file_batch = 128
             else:
                 file_batch = 32
