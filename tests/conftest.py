@@ -8,6 +8,7 @@ import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("FAD_TPU_OFFLINE", "1")  # hermetic: never hit the network
+os.environ.setdefault("FAD_TPU_COMPILE_CACHE", "0")  # hermetic: no cache writes
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
