@@ -290,9 +290,6 @@ def _arm_watchdog(seconds: int = 600, emit_driver_record: bool = True):
 
 
 def main():
-    from frechet_audio_distance_exported_tpu.config import enable_compilation_cache
-
-    enable_compilation_cache()  # reuse XLA/Mosaic compiles across bench runs
     args = set(sys.argv[1:])
     if "--families" in args:
         _arm_watchdog(1800, emit_driver_record=False)

@@ -33,20 +33,19 @@ def enable_compilation_cache(path: str | None = None) -> None:
     """Persist XLA/Mosaic compilations across processes (first TPU compile of
     each shape bucket costs tens of seconds; the fused CLAP attention kernels
     cost ~3 min through the tunnel's remote-compile hop). Called lazily from
-    FrechetAudioDistance.__init__ and bench.py (NOT at import time — a
-    library must not mutate global jax.config as an import side effect).
+    FrechetAudioDistance.__init__ (NOT at import time — a library must not
+    mutate global jax.config as an import side effect).
 
-    Default ON at an XDG cache path; FAD_TPU_COMPILE_CACHE=<dir> overrides
-    the location, FAD_TPU_COMPILE_CACHE= (empty) or =0 disables."""
-    env = os.environ.get("FAD_TPU_COMPILE_CACHE")
-    if path is None:
-        if env is not None and env.strip() in ("", "0"):
-            return
-        path = env or os.path.join(
-            os.environ.get("XDG_CACHE_HOME", os.path.expanduser("~/.cache")),
-            "fad_tpu",
-            "xla-cache",
-        )
+    Opt-in: enabled when FAD_TPU_COMPILE_CACHE names a directory (or a path
+    is passed). NOT default-on: measured on the axon-tunneled chip, the
+    persistent cache wedges the backend while serializing the compiled
+    executable (the driver bench watchdog fired at 600 s; the identical run
+    with the cache disabled finished in ~3 min) — only the small host-side
+    RNG jits ever reached the cache dir. Opt in explicitly on hosts where
+    executable serialization is known to work."""
+    path = path or os.environ.get("FAD_TPU_COMPILE_CACHE")
+    if not path or path.strip() in ("", "0"):
+        return
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
