@@ -207,10 +207,15 @@ def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: 
         mask = jnp.zeros((1, n, n), jnp.float32)
     windows = _window_partition(h, ws)
     bias = _gathered_rel_bias(p["rel_bias"], ws, heads)
+    # Group sweep (v5e, B=32): stage 1 (C=96) is fastest with 2 windows per
+    # grid cell (3.50/2.39/2.42 ms for groups 1/2/4); every wider stage
+    # prefers 1 (stage 3: 1.28/1.84/2.09) — more per-window work means cell
+    # granularity 1 already pipelines, and smaller cells schedule better.
+    group = 2 if c <= 96 else 1
     out = window_attention_fused(
         windows, p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
         bias, mask, p["norm1"]["gamma"], p["norm1"]["beta"],
-        heads=heads, num_windows=nw, group=min(2, nw),
+        heads=heads, num_windows=nw, group=min(group, nw),
     )
     h = _window_reverse(out, ws, res, res)
     if shift:
