@@ -13,9 +13,9 @@ Extended modes (logged to stderr, VERDICT r1 #5):
 Timing notes: the step benches time the fused embed+stats device program of
 score(device_stats=True) — frontend -> model -> masked streaming (N, Σx,
 Σxxᵀ) accumulator, the production TPU-native scoring path where embeddings
-never leave the chip. Completion of each step is forced by fetching the
-accumulator's scalar count (4 bytes), 2-deep pipelined, because
-block_until_ready lies through the axon tunnel and a full-embedding fetch
+never leave the chip. The whole step chain is dispatched asynchronously and
+forced once by fetching the final accumulator's scalar count (4 bytes),
+because block_until_ready lies through the axon tunnel and a full-embedding fetch
 would time the ~62 MB/s tunnel instead of the chip (it dominated and its
 run-to-run variance swamped real changes in rounds 1-2; --e2e still
 measures the full host roundtrip).
@@ -67,6 +67,16 @@ def _shipped_dtype(family, params):
     return dt, params
 
 
+def _accumulate(acc, emb):
+    """Fold a [..., d] embedding chunk into the streaming accumulator (the
+    device_stats scoring path; all rows valid in the benches)."""
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.ops import stats
+
+    return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
+
+
 def bench_vggish(files_per_step=256):
     import jax
     import jax.numpy as jnp
@@ -76,7 +86,6 @@ def bench_vggish(files_per_step=256):
         vggish_forward,
     )
     from frechet_audio_distance_exported_tpu.ops import frontends as fe
-
     from frechet_audio_distance_exported_tpu.ops import stats
 
     params = init_vggish_params(jax.random.PRNGKey(0))
@@ -88,8 +97,7 @@ def bench_vggish(files_per_step=256):
     def step(acc, params, wave):
         patches = fe.vggish_patches_batch(wave, num_patches)
         emb = vggish_forward(params, patches.reshape(-1, 96, 64).astype(cdt))
-        emb = emb.astype(jnp.float32)
-        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
+        return _accumulate(acc, emb.astype(jnp.float32))
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, s), jnp.float32) * 0.1
     dt = _time_stats_step(step, stats.init_stats(128), (params, wave))
@@ -104,7 +112,6 @@ def bench_pann16k(files_per_step=128):  # shipped TPU default (pipeline.py)
 
     from frechet_audio_distance_exported_tpu.models.pann import init_pann_params, pann_forward
     from frechet_audio_distance_exported_tpu.ops import frontends as fe
-
     from frechet_audio_distance_exported_tpu.ops import stats
 
     params = init_pann_params(jax.random.PRNGKey(0))
@@ -119,8 +126,8 @@ def bench_pann16k(files_per_step=128):  # shipped TPU default (pipeline.py)
     @jax.jit
     def step(acc, params, wave, n_valid):
         mel = fe.pann_logmel_batch(wave, sr, grid, n_valid)
-        emb = pann_forward(params, mel.astype(cdt)).astype(jnp.float32)
-        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
+        emb = pann_forward(params, mel.astype(cdt))
+        return _accumulate(acc, emb.astype(jnp.float32))
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, length), jnp.float32) * 0.1
     n_valid = jnp.full((files_per_step,), t_i, jnp.int32)
@@ -134,7 +141,6 @@ def bench_clap(files_per_step=32):
 
     from frechet_audio_distance_exported_tpu.models.clap import clap_forward, init_clap_params
     from frechet_audio_distance_exported_tpu.ops import frontends as fe
-
     from frechet_audio_distance_exported_tpu.ops import stats
 
     params = init_clap_params(jax.random.PRNGKey(0))
@@ -145,8 +151,8 @@ def bench_clap(files_per_step=32):
     @jax.jit
     def step(acc, params, wave, n_valid):
         mel = fe.pann_logmel_batch(wave, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES, n_valid)
-        emb = clap_forward(params, mel.astype(cdt)).astype(jnp.float32)
-        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
+        emb = clap_forward(params, mel.astype(cdt))
+        return _accumulate(acc, emb.astype(jnp.float32))
 
     wave = jax.random.normal(jax.random.PRNGKey(1), (files_per_step, length), jnp.float32) * 0.1
     n_valid = jnp.full((files_per_step,), fe.CLAP_TIME_FRAMES, jnp.int32)
@@ -155,8 +161,6 @@ def bench_clap(files_per_step=32):
 
 
 def _bench_encodec(sample_rate, causal, channels, files_per_step):
-    import os
-
     import jax
     import jax.numpy as jnp
 
@@ -166,7 +170,9 @@ def _bench_encodec(sample_rate, causal, channels, files_per_step):
     )
 
     params = init_encodec_params(jax.random.PRNGKey(0), causal=causal, channels=channels)
-    if causal or os.environ.get("FAD_TPU_MODEL_DTYPE"):
+    from frechet_audio_distance_exported_tpu.config import model_dtype_is_forced
+
+    if causal or model_dtype_is_forced():
         # shipped default: 24k runs mixed (conv bf16, LSTM f32); 48k stays
         # f32 unless FAD_TPU_MODEL_DTYPE opts in (see pipeline.py rationale)
         _, params = _shipped_dtype("encodec", params)
@@ -176,8 +182,7 @@ def _bench_encodec(sample_rate, causal, channels, files_per_step):
 
     @jax.jit
     def step(acc, params, wave):
-        emb = encodec_forward(params, wave, causal=causal)
-        return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
+        return _accumulate(acc, encodec_forward(params, wave, causal=causal))
 
     wave = jax.random.normal(
         jax.random.PRNGKey(1), (files_per_step, channels, s), jnp.float32

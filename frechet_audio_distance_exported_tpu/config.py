@@ -56,6 +56,13 @@ def exact_sqrtm() -> bool:
     return os.environ.get("FAD_TPU_EXACT_SQRTM", "") not in ("", "0")
 
 
+def model_dtype_is_forced() -> bool:
+    """True when FAD_TPU_MODEL_DTYPE is set explicitly (used by the
+    encodec-48k rule: the platform default keeps it f32, an explicit env
+    value opts into mixed bf16 — pipeline.py)."""
+    return bool(os.environ.get("FAD_TPU_MODEL_DTYPE"))
+
+
 def model_dtype():
     """Model compute dtype. FAD_TPU_MODEL_DTYPE=float32|bfloat16 forces it;
     unset, the default is platform-aware: bfloat16 on TPU (the MXU's native

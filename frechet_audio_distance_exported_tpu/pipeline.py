@@ -25,7 +25,6 @@ Row ordering of the concatenated embedding matrix matches the reference
 from __future__ import annotations
 
 import functools
-import os
 from typing import Callable, Dict, List, Optional, Tuple
 
 import jax
@@ -191,14 +190,14 @@ class EmbeddingPipeline:
         self.timer = StageTimer()
         self._forward = self._resolve_forward()
 
-        from .config import model_dtype
+        from .config import model_dtype, model_dtype_is_forced
 
         dtype = model_dtype()
         if (
             dtype != jnp.float32
             and self.cfg.family == "encodec"
             and self.cfg.sample_rate == 48000
-            and not os.environ.get("FAD_TPU_MODEL_DTYPE")
+            and not model_dtype_is_forced()
         ):
             # encodec-48k stays float32 under the PLATFORM default: its
             # mixed-bf16 FAD delta measured 8.3e-4 relative (7.2e-2 absolute
@@ -513,12 +512,9 @@ class EmbeddingPipeline:
             length, target_sr, num_frames = plan_fn(key)
             # Bound the per-program activation footprint: the CNN's widest
             # intermediate scales with b * num_frames, so long files shrink
-            # the batch (the measured-good operating point is 32 files of
-            # ~1032 frames -> a ~32k frame budget per program).
-            # Per-program mel-frame budget scales with file_batch so explicit
-            # (and mesh-raised) batch choices take effect; 32 x ~1032 frames
-            # was the round-1 operating point, and the cap still shrinks the
-            # batch for long files.
+            # the batch. The frame budget scales with file_batch (explicit
+            # and mesh-raised choices take effect); file_batch x ~1032
+            # frames is the measured-good per-program operating point.
             b_cap = max(
                 self._min_batch,
                 min(self.file_batch, max(1, (self.file_batch * 1032) // num_frames)),

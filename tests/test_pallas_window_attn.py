@@ -35,9 +35,7 @@ def _inputs(dtype=jnp.float32, b=2):
 
 
 def _gathered_bias(rel_bias):
-    idx = M._relative_position_index(WS)
-    bias = np.asarray(rel_bias)[idx.reshape(-1)].reshape(N, N, H).transpose(2, 0, 1)
-    return jnp.asarray(bias, jnp.float32)
+    return M._gathered_rel_bias(jnp.asarray(rel_bias), WS, H)
 
 
 def _xla_reference(i, mask):
