@@ -6,8 +6,9 @@ architecture (the reference's execution model; it publishes no numbers of
 its own, BASELINE.md).
 
 Extended modes (logged to stderr, VERDICT r1 #5):
-  python bench.py --families   # per-family jitted-step throughput
-                               # (vggish, pann-16k, clap, encodec-24k)
+  python bench.py --families   # per-variant jitted-step throughput
+                               # (all seven: vggish, pann-8k/16k/32k, clap,
+                               #  encodec-24k/48k)
   python bench.py --e2e        # warm end-to-end score() throughput per family
 
 Timing notes: the step benches time the fused embed+stats device program of
@@ -105,7 +106,7 @@ def bench_vggish(files_per_step=256):
     return patches_per_sec * PATCH_SECONDS / 60.0
 
 
-def bench_pann16k(files_per_step=128):  # shipped TPU default (pipeline.py)
+def _bench_pann(sr, files_per_step=128):  # B=128: shipped TPU default (pipeline.py)
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -116,7 +117,6 @@ def bench_pann16k(files_per_step=128):  # shipped TPU default (pipeline.py)
 
     params = init_pann_params(jax.random.PRNGKey(0))
     cdt, params = _shipped_dtype("pann", params)
-    sr = 16000
     cfg = fe.PANN_CONFIGS[sr]
     n_fft, hop = cfg["window_size"], cfg["hop_size"]
     t_i = fe.pann_num_frames(int(CLIP_SECONDS * sr), hop)
@@ -133,6 +133,18 @@ def bench_pann16k(files_per_step=128):  # shipped TPU default (pipeline.py)
     n_valid = jnp.full((files_per_step,), t_i, jnp.int32)
     dt = _time_stats_step(step, stats.init_stats(2048), (params, wave, n_valid))
     return files_per_step * CLIP_SECONDS / 60.0 / dt
+
+
+def bench_pann8k(files_per_step=128):
+    return _bench_pann(8000, files_per_step)
+
+
+def bench_pann16k(files_per_step=128):
+    return _bench_pann(16000, files_per_step)
+
+
+def bench_pann32k(files_per_step=128):
+    return _bench_pann(32000, files_per_step)
 
 
 def bench_clap(files_per_step=32):
@@ -201,7 +213,9 @@ def bench_encodec48k(files_per_step=16):
 
 FAMILY_BENCHES = {
     "vggish": bench_vggish,
+    "pann-8k": bench_pann8k,
     "pann-16k": bench_pann16k,
+    "pann-32k": bench_pann32k,
     "clap": bench_clap,
     "encodec-24k": bench_encodec24k,
     "encodec-48k": bench_encodec48k,
