@@ -73,6 +73,12 @@ def _sconv(p: dict, x: jnp.ndarray, kernel: int, stride: int, causal: bool) -> j
 
 
 def _res_block(p: dict, x: jnp.ndarray, causal: bool) -> jnp.ndarray:
+    # A fused Pallas version of this block (haloed time tiles, whole
+    # elu->conv3->elu->conv1 + shortcut in VMEM) was built and REJECTED in
+    # round 2d: 32.7 ms vs 31.1 ms XLA on the stage-1 shapes ([32, 240k, 32]
+    # bf16; halo-tile materialization alone cost 14.7 ms, wider tiles fail
+    # Mosaic compilation, and the C=32 minor-dim lane occupancy penalizes
+    # the kernel exactly as it does XLA). Details in TODO.md.
     h = jax.nn.elu(x)
     h = _sconv(p["conv1"], h, kernel=3, stride=1, causal=causal)
     h = jax.nn.elu(h)
