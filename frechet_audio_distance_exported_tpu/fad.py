@@ -35,6 +35,15 @@ ENCODEC_SAMPLE_RATES = registry.ENCODEC_SAMPLE_RATES
 load_audio = audio_io.load_audio
 
 
+def _save_embeddings(path: str, embds: np.ndarray) -> None:
+    """np.save with parent-dir creation; a bare filename has no dirname and
+    os.makedirs('') raises, which would discard the computed score as -1."""
+    parent = os.path.dirname(path)
+    if parent:
+        os.makedirs(parent, exist_ok=True)
+    np.save(path, embds)
+
+
 class FrechetAudioDistance:
     """API-compatible FAD calculator running on TPU via JAX/XLA.
 
@@ -230,8 +239,7 @@ class FrechetAudioDistance:
                 audio_background = self._load_audio_files(background_dir, dtype=dtype)
                 embds_background = self.get_embeddings(audio_background, sr=self.sample_rate)
                 if background_embds_path:
-                    os.makedirs(os.path.dirname(background_embds_path), exist_ok=True)
-                    np.save(background_embds_path, embds_background)
+                    _save_embeddings(background_embds_path, embds_background)
 
             if eval_embds_path and os.path.exists(eval_embds_path):
                 if self.verbose:
@@ -241,8 +249,7 @@ class FrechetAudioDistance:
                 audio_eval = self._load_audio_files(eval_dir, dtype=dtype)
                 embds_eval = self.get_embeddings(audio_eval, sr=self.sample_rate)
                 if eval_embds_path:
-                    os.makedirs(os.path.dirname(eval_embds_path), exist_ok=True)
-                    np.save(eval_embds_path, embds_eval)
+                    _save_embeddings(eval_embds_path, embds_eval)
 
             if len(embds_background) == 0:
                 print("[FAD-TPU] Background set dir is empty, exiting...")
@@ -258,7 +265,17 @@ class FrechetAudioDistance:
 
             d = embds_background.shape[1]
             n_min = min(len(embds_background), len(embds_eval))
-            if 1 < n_min < d and not exact_sqrtm():
+            # The fast path bypasses calculate_embd_statistics /
+            # calculate_frechet_distance, so it must stand down when a
+            # subclass overrides either hook (reference-API extension
+            # points) — the override must see every score.
+            stock_hooks = (
+                type(self).calculate_embd_statistics
+                is FrechetAudioDistance.calculate_embd_statistics
+                and type(self).calculate_frechet_distance
+                is FrechetAudioDistance.calculate_frechet_distance
+            )
+            if 1 < n_min < d and stock_hooks and not exact_sqrtm():
                 return stats_ops.frechet_distance_lowrank_np(embds_background, embds_eval)
 
             mu_background, sigma_background = self.calculate_embd_statistics(embds_background)
@@ -281,19 +298,24 @@ class FrechetAudioDistance:
         files = audio_io.list_audio_files(dir)
         paths = [os.path.join(dir, f) for f in files]
         pool = ThreadPool(self.audio_load_worker)
+
+        def load(p):
+            return audio_io.load_audio(p, self.sample_rate, self.channels, dtype)
+
         try:
-            it = pool.imap(
-                lambda p: audio_io.load_audio(p, self.sample_rate, self.channels, dtype),
-                paths,
-            )
-            chunk = []
-            for audio in it:
-                chunk.append(audio)
-                if len(chunk) >= chunk_files:
-                    yield chunk
-                    chunk = []
-            if chunk:
-                yield chunk
+            # One chunk decoding ahead of the consumer — pool.imap over the
+            # whole directory has NO backpressure (workers decode every file
+            # regardless of consumption rate, buffering the entire corpus in
+            # RAM); chunked map_async bounds host memory to ~2 chunks, which
+            # is the contract the device_stats streaming path advertises.
+            pending = None
+            for i in range(0, len(paths), chunk_files):
+                nxt = pool.map_async(load, paths[i : i + chunk_files])
+                if pending is not None:
+                    yield pending.get()
+                pending = nxt
+            if pending is not None:
+                yield pending.get()
         finally:
             pool.close()
             pool.join()
@@ -318,20 +340,16 @@ class FrechetAudioDistance:
             print("[FAD-TPU] Eval set dir is empty, exiting...")
             return -1
         # Epilogue on host in float64: the sums are tiny ([d] + [d, d]) next
-        # to the embedding matrix, and the float64 sqrtm matches the
-        # reference's algorithm; accuracy is then limited only by the
+        # to the embedding matrix; accuracy is then limited only by the
         # shift-stabilized float32 accumulation.
-        def finalize64(st):
-            n = float(st.n)
-            s = np.asarray(st.s, dtype=np.float64)
-            ss = np.asarray(st.ss, dtype=np.float64)
-            shift = np.asarray(st.shift, dtype=np.float64)
-            mu_c = s / n
-            sigma = (ss - np.outer(mu_c, s)) / (n - 1.0)
-            return mu_c + shift, sigma
+        mu1, sigma1 = stats_ops.finalize_stats_np(st_bg)
+        mu2, sigma2 = stats_ops.finalize_stats_np(st_ev)
+        from .config import exact_sqrtm
 
-        mu1, sigma1 = finalize64(st_bg)
-        mu2, sigma2 = finalize64(st_ev)
+        if exact_sqrtm():
+            # FAD_TPU_EXACT_SQRTM promises the reference's scipy algorithm
+            # bit-for-bit — honor it here too, not just on the host path.
+            return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2)
         # eigh-route float64 epilogue: same math, ~50x faster than scipy's
         # complex sqrtm at d=2048 (which would dominate end-to-end time).
         return stats_ops.frechet_distance_eigh_np(mu1, sigma1, mu2, sigma2)

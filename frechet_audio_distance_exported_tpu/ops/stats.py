@@ -100,6 +100,19 @@ def finalize_stats(state: StreamingStats) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return mu_c + state.shift, sigma
 
 
+def finalize_stats_np(state: StreamingStats) -> Tuple[np.ndarray, np.ndarray]:
+    """float64 host finalization of a device accumulator — same math as
+    finalize_stats, used by the device_stats scoring epilogue (the sums are
+    tiny next to the embedding matrix, so float64 here is free)."""
+    n = float(state.n)
+    s = np.asarray(state.s, dtype=np.float64)
+    ss = np.asarray(state.ss, dtype=np.float64)
+    shift = np.asarray(state.shift, dtype=np.float64)
+    mu_c = s / n
+    sigma = (ss - np.outer(mu_c, s)) / (n - 1.0)
+    return mu_c + shift, sigma
+
+
 def calculate_embd_statistics_np(embd: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Host float64 reference-exact statistics (reference: fad.py:483-496)."""
     embd = np.asarray(embd)
@@ -197,14 +210,28 @@ def frechet_distance_np(
 
     diff = mu1 - mu2
 
-    covmean, _ = linalg.sqrtm(sigma1.dot(sigma2).astype(complex), disp=False)
+    def _sqrtm(a):
+        # scipy deprecated sqrtm's disp kwarg in 1.17 (removal slated for
+        # 1.18): older scipy needs disp=False to suppress printing and
+        # returns (sqrtm, errest); newer scipy returns the matrix alone.
+        import warnings
+
+        try:
+            with warnings.catch_warnings():
+                warnings.simplefilter("ignore", DeprecationWarning)
+                out = linalg.sqrtm(a, disp=False)
+            return out[0] if isinstance(out, tuple) else out
+        except TypeError:  # scipy >= 1.18: disp removed
+            return linalg.sqrtm(a)
+
+    covmean = _sqrtm(sigma1.dot(sigma2).astype(complex))
     if not np.isfinite(covmean).all():
         print(
             "FID calculation produces singular product; "
             f"adding {eps} to diagonal of cov estimates"
         )
         offset = np.eye(sigma1.shape[0]) * eps
-        covmean = linalg.sqrtm((sigma1 + offset).dot(sigma2 + offset).astype(complex))
+        covmean = _sqrtm((sigma1 + offset).dot(sigma2 + offset).astype(complex))
 
     if np.iscomplexobj(covmean):
         if not np.allclose(np.diagonal(covmean).imag, 0, atol=1e-3):

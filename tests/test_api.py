@@ -137,6 +137,38 @@ class TestEndToEndVGGish:
         s2 = fad.score(bg, ev, background_embds_path=cache)
         assert s1 == pytest.approx(s2, abs=1e-10)
 
+    def test_embedding_cache_bare_filename(self, fad, tmp_path_factory, monkeypatch):
+        """A cache path with no directory component must work — dirname('')
+        fed to os.makedirs raised and the -1 sentinel swallowed it."""
+        bg = str(tmp_path_factory.mktemp("bgf"))
+        ev = str(tmp_path_factory.mktemp("evf"))
+        _write_sine_dir(bg, [440], 2.0, 16000)
+        _write_sine_dir(ev, [880], 2.0, 16000)
+        monkeypatch.chdir(tmp_path_factory.mktemp("cwd"))
+        s = fad.score(bg, ev, background_embds_path="bg_embds.npy")
+        assert s != -1 and os.path.exists("bg_embds.npy")
+
+    def test_subclass_hooks_see_every_score(self, tmp_path_factory):
+        """The low-rank fast path must stand down when a subclass overrides
+        the reference-API statistic/distance hooks."""
+        from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+        calls = []
+
+        class Hooked(FrechetAudioDistance):
+            def calculate_frechet_distance(self, mu1, s1, mu2, s2, eps=1e-6):
+                calls.append(1)
+                return super().calculate_frechet_distance(mu1, s1, mu2, s2, eps)
+
+        # PANN: d=2048 >> n, the regime the fast path normally takes.
+        hooked = Hooked(model_name="pann-16k", weights="random")
+        bg = str(tmp_path_factory.mktemp("bgh"))
+        ev = str(tmp_path_factory.mktemp("evh"))
+        _write_sine_dir(bg, [440, 450], 2.0, 16000)
+        _write_sine_dir(ev, [880, 890], 2.0, 16000)
+        s = hooked.score(bg, ev)
+        assert s != -1 and calls, "override was bypassed"
+
     def test_batching_invariance(self, fad, sine_audio):
         """Embeddings are identical whether files go through together or alone
         (the TPU pipeline's bucketing must not change numerics)."""
