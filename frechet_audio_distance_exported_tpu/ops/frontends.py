@@ -37,6 +37,10 @@ def _use_pallas_frontend() -> bool:
 
     Off by default; enable with FAD_TPU_PALLAS_FRONTEND=1. On CPU the kernel
     runs in interpret mode (tests); on TPU it runs compiled.
+
+    Read at TRACE time: shapes already compiled before a toggle keep their
+    original path (jit caches are keyed on shapes, not env) — set the flag
+    before the first call of the process.
     """
     return os.environ.get("FAD_TPU_PALLAS_FRONTEND", "0").lower() in ("1", "true", "on")
 
@@ -252,13 +256,18 @@ def clap_quantize(audio: jnp.ndarray) -> jnp.ndarray:
     return q.astype(jnp.float32) / 32767.0
 
 
-def clap_logmel_batch(padded_wave: jnp.ndarray) -> jnp.ndarray:
+def clap_logmel_batch(
+    padded_wave: jnp.ndarray, i16_full_scale: float = 32767.0
+) -> jnp.ndarray:
     """Quantized, reflect-padded [B, 480000 + n_fft] -> [B, 1001, 64].
 
     The caller must have zero-padded the *waveform* to 480000 samples before
     the reflect pad (reference: fad.py:354-359 — mel of zeros != zeros).
-    """
-    return pann_logmel_batch(padded_wave, CLAP_SAMPLE_RATE, CLAP_TIME_FRAMES)
+    int16 input dequantizes on CLAP's k/32767 grid (the clap_quantize grid —
+    NOT the PCM k/32768 grid pann_logmel_batch defaults to)."""
+    return pann_logmel_batch(
+        padded_wave, CLAP_SAMPLE_RATE, CLAP_TIME_FRAMES, i16_full_scale=i16_full_scale
+    )
 
 
 # ---------------------------------------------------------------------------

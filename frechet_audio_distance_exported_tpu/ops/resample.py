@@ -94,12 +94,12 @@ def _resample_1d(x: np.ndarray, sr_orig: int, sr_new: int, filter: str) -> np.nd
     delta = np.zeros_like(win)
     delta[:-1] = np.diff(win)
 
-    out_dtype_native = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float64
+    out_dtype = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float64
     from .. import native  # lazy: builds the C library on first use
 
     y_native = native.resample_kaiser(x, sample_ratio, n_out, win, delta, num_table)
     if y_native is not None:
-        return y_native.astype(out_dtype_native, copy=False)
+        return y_native.astype(out_dtype, copy=False)
 
     scale = min(1.0, sample_ratio)
     index_step = int(scale * num_table)
@@ -110,7 +110,6 @@ def _resample_1d(x: np.ndarray, sr_orig: int, sr_new: int, filter: str) -> np.nd
     n_orig = x.shape[0]
 
     n = t_out.astype(np.int64)  # floor: t_out >= 0
-    out_dtype = x.dtype if np.issubdtype(x.dtype, np.floating) else np.float64
     xf = x.astype(np.float64, copy=False)
     y = np.zeros(n_out, dtype=np.float64)
 

@@ -70,6 +70,10 @@ EXPORTED_MODEL_SHA256: dict = {}
 # when bundles are published, or point at a private mirror via code.
 WEIGHT_BUNDLE_URLS: dict = {}
 
+# Optional sha256 pins for the bundles above, verified when set (same
+# semantics as EXPORTED_MODEL_SHA256).
+WEIGHT_BUNDLE_SHA256: dict = {}
+
 # The reference torch artifacts these weight bundles are converted from
 # (reference: fad.py:95-106, fad.py:252-270). tools/extract_weights.py
 # consumes these when present in ckpt_dir.

@@ -9,7 +9,6 @@ from those artifacts / upstream checkpoints; loading is torch-free.
 from __future__ import annotations
 
 import os
-import re
 from typing import Dict
 
 import jax
@@ -47,7 +46,10 @@ def _lists_from_int_keys(node):
     if not isinstance(node, dict):
         return node
     node = {k: _lists_from_int_keys(v) for k, v in node.items()}
-    if node and all(re.fullmatch(r"\d+", k) for k in node):
+    # Convert to a list only for exactly the contiguous keys '0'..'n-1':
+    # gapped ('0','2') or zero-padded ('01') digit keys stay dicts instead
+    # of raising KeyError mid-comprehension.
+    if node and set(node) == {str(i) for i in range(len(node))}:
         return [node[str(i)] for i in range(len(node))]
     return node
 
@@ -103,7 +105,16 @@ def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int 
     cfg = registry.get_model_config(model_name)
     bundle_path = os.path.join(ckpt_dir, cfg.weight_filename)
     if os.path.exists(bundle_path):
-        return load_weights(bundle_path)
+        try:
+            return load_weights(bundle_path)
+        except Exception as e:
+            # A corrupt bundle must not be permanently fatal with a cryptic
+            # np.load error — name the file and the fix.
+            raise RuntimeError(
+                f"Weight bundle {bundle_path} exists but failed to load "
+                f"({type(e).__name__}: {e}). Delete it to re-download or "
+                f"re-convert."
+            ) from e
 
     from . import download as dl
 
@@ -112,10 +123,16 @@ def get_params(model_name: str, ckpt_dir: str, weights: str = "auto", seed: int 
     if bundle_url and not dl.offline():
         try:
             print(f"[FAD-TPU] Downloading {model_name} weight bundle to {ckpt_dir}...")
-            dl.download_url_to_file(bundle_url, bundle_path)
+            dl.download_url_to_file(
+                bundle_url,
+                bundle_path,
+                sha256=registry.WEIGHT_BUNDLE_SHA256.get(model_name),
+            )
             return load_weights(bundle_path)
         except Exception as e:  # fall through to the artifact path
             download_errors.append(f"bundle {bundle_url}: {e}")
+            if os.path.exists(bundle_path):
+                os.remove(bundle_path)  # don't poison future runs
 
     def _import_extract_tool():
         from importlib import import_module

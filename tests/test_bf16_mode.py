@@ -25,6 +25,37 @@ def test_bf16_vggish_close_to_f32(monkeypatch, sine_audio):
     assert np.median(rel) < 0.1, np.median(rel)
 
 
+def test_unflatten_gapped_digit_keys_stay_dicts():
+    """Gapped or zero-padded all-digit keys must not be list-ified (the old
+    contiguous-range comprehension raised KeyError on 'layers/1' gaps)."""
+    import numpy as np
+
+    from frechet_audio_distance_exported_tpu.utils.weights import unflatten_params
+
+    flat = {"layers/0/w": np.ones(2), "layers/2/w": np.ones(2), "pad/01/w": np.ones(2)}
+    tree = unflatten_params(flat)
+    assert isinstance(tree["layers"], dict) and set(tree["layers"]) == {"0", "2"}
+    assert isinstance(tree["pad"], dict)
+    # Contiguous keys still become lists.
+    tree2 = unflatten_params({"b/0/w": np.ones(2), "b/1/w": np.ones(2)})
+    assert isinstance(tree2["b"], list) and len(tree2["b"]) == 2
+
+
+def test_corrupt_bundle_raises_actionable_error(tmp_path):
+    import pytest as _pytest
+
+    from frechet_audio_distance_exported_tpu.utils.weights import get_params
+
+    bad = tmp_path / "vggish_weights.npz"
+    bad.write_bytes(b"not a zip")
+    from frechet_audio_distance_exported_tpu import registry
+
+    name = registry.get_model_config("vggish").weight_filename
+    (tmp_path / name).write_bytes(b"not a zip")
+    with _pytest.raises(RuntimeError, match="failed to load"):
+        get_params("vggish", str(tmp_path))
+
+
 def test_model_dtype_platform_default(monkeypatch):
     """Unset, the model dtype is platform-aware: float32 on CPU (this test
     harness), bfloat16 on TPU (measured within the parity bar, PARITY.md).
