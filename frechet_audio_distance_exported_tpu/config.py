@@ -26,7 +26,14 @@ _PRECISIONS = {
 
 
 def matmul_precision() -> jax.lax.Precision:
-    return _PRECISIONS[os.environ.get("FAD_TPU_PRECISION", "high").lower()]
+    name = os.environ.get("FAD_TPU_PRECISION", "high").strip().lower()
+    try:
+        return _PRECISIONS[name]
+    except KeyError:
+        # A typo must not surface as a bare KeyError from inside jit tracing.
+        raise ValueError(
+            f"FAD_TPU_PRECISION={name!r}: expected one of {sorted(_PRECISIONS)}"
+        ) from None
 
 
 def enable_compilation_cache(path: str | None = None) -> None:

@@ -64,7 +64,13 @@ def pann_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     for i, blk in enumerate(params["blocks"]):
         h = _conv_block(blk, h, pool=1 if i == 5 else 2)
     # [B, T/32, 2, 2048]: mean over frequency, then max+mean over time
-    # (reference: models/pann.py:263-268).
+    # (reference: models/pann.py:263-268). The pooling tail runs in float32
+    # even in bf16 mode: the time mean accumulates over up to ~8k pooled
+    # frames for long files, where a bf16 accumulation would drift past the
+    # parity bar (same policy as the norm reductions in models/common.py and
+    # CLAP's pooling tail); the tensors here are tiny.
+    h = h.astype(jnp.float32)
     h = jnp.mean(h, axis=2)
     h = jnp.max(h, axis=1) + jnp.mean(h, axis=1)
+    h = h.astype(x.dtype)
     return jax.nn.relu(common.linear(h, **params["fc1"]))
