@@ -3,7 +3,8 @@
 Driver mode (no args): prints ONE JSON line — the flagship VGGish embedding
 throughput (audio-min/sec/chip) vs a CPU-torch baseline of the identical
 architecture (the reference's execution model; it publishes no numbers of
-its own, BASELINE.md).
+its own, BASELINE.md), plus a "families" field with every variant's fused
+embed+stats step throughput so per-family regressions are driver-visible.
 
 Extended modes (logged to stderr, VERDICT r1 #5):
   python bench.py --families   # per-variant jitted-step throughput
@@ -279,28 +280,34 @@ def bench_torch_cpu(n_patches: int = 128):
     return n_patches / dt
 
 
+# Driver-mode record, mutated as measurements land so the watchdog can emit
+# an honest partial record (zero-valued flagship if vggish never finished).
+DRIVER_RECORD = {
+    "metric": "vggish_embedding_throughput",
+    "value": 0.0,
+    "unit": "audio_min/sec/chip",
+    "vs_baseline": 0.0,
+    "families": {},
+}
+
+
+def _emit_driver_record():
+    print(json.dumps(DRIVER_RECORD), flush=True)
+
+
 def _arm_watchdog(seconds: int = 600, emit_driver_record: bool = True):
     """The tunneled TPU can wedge indefinitely (observed after killed
-    mid-flight clients); bail out instead of hanging. In driver mode an
-    honest zero-valued flagship record goes to stdout; the --families/--e2e
-    modes only report the wedge on stderr (their stdout must not fabricate a
-    flagship metric they never measured) and exit nonzero."""
+    mid-flight clients); bail out instead of hanging. In driver mode the
+    record measured so far goes to stdout (honest zeros for what never ran);
+    the --families/--e2e modes only report the wedge on stderr (their stdout
+    must not fabricate a flagship metric they never measured) and exit
+    nonzero."""
     import os
     import signal
 
     def _fire(signum, frame):
         if emit_driver_record:
-            print(
-                json.dumps(
-                    {
-                        "metric": "vggish_embedding_throughput",
-                        "value": 0.0,
-                        "unit": "audio_min/sec/chip",
-                        "vs_baseline": 0.0,
-                    }
-                ),
-                flush=True,
-            )
+            _emit_driver_record()
         print("bench watchdog fired: TPU unresponsive", file=sys.stderr, flush=True)
         os._exit(0 if emit_driver_record else 1)
 
@@ -323,22 +330,28 @@ def main():
             print(f"[bench] {name} e2e score(): {v:.1f} audio-min/s", file=sys.stderr, flush=True)
         return
 
-    _arm_watchdog()
+    # Driver mode: flagship vggish first (the headline metric), then every
+    # other family so regressions in pann/clap/encodec are driver-visible
+    # (VERDICT r2 #6) — each family guarded so one wedge/compile failure
+    # cannot zero the rest of the record.
+    _arm_watchdog(1500)
     value = bench_vggish()
+    DRIVER_RECORD["value"] = round(value, 3)
+    DRIVER_RECORD["families"]["vggish"] = round(value, 3)
+    for name, fn in FAMILY_BENCHES.items():
+        if name == "vggish":
+            continue
+        try:
+            DRIVER_RECORD["families"][name] = round(fn(), 3)
+        except Exception as e:
+            DRIVER_RECORD["families"][name] = 0.0
+            print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
     import signal
 
     signal.alarm(0)
     baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
-    print(
-        json.dumps(
-            {
-                "metric": "vggish_embedding_throughput",
-                "value": round(value, 3),
-                "unit": "audio_min/sec/chip",
-                "vs_baseline": round(value / baseline, 2),
-            }
-        )
-    )
+    DRIVER_RECORD["vs_baseline"] = round(value / baseline, 2)
+    _emit_driver_record()
 
 
 if __name__ == "__main__":

@@ -39,28 +39,29 @@ from . import common
 from ..config import matmul_precision
 
 
-# Set by pipeline.set_mesh: pallas_call has no SPMD partitioning rule, so
-# under a data mesh (plain-jit GSPMD sharding) the fused kernel must yield
-# to the XLA assembly, which GSPMD partitions cleanly over the batch.
-_mesh_active = False
+def _resolve_attn(attn: str) -> bool:
+    """Resolve the static ``attn`` mode of clap_forward to use-fused-or-not.
 
+    'fused' / 'xla' force the path; 'auto' picks the fused Pallas window
+    attention on TPU (measured v5e, stage-1 shapes: 2.39 ms vs 4.09 ms for
+    the XLA assembly — the XLA lowering materializes ~600 MB of
+    24-element-minor-dim intermediates per block) unless FAD_TPU_FUSED_ATTN=0,
+    and the XLA assembly on CPU, where Mosaic is unavailable.
 
-def set_mesh_mode(active: bool) -> None:
-    global _mesh_active
-    _mesh_active = bool(active)
-
-
-def _use_fused_attention() -> bool:
-    """Fused Pallas window-attention on TPU (measured v5e, stage-1 shapes:
-    2.39 ms vs 4.09 ms for the XLA assembly — the XLA lowering materializes
-    ~600 MB of 24-element-minor-dim intermediates per block). FAD_TPU_FUSED_ATTN=0
-    falls back to the XLA path (also used on CPU, where Mosaic is unavailable,
-    and under a device mesh, where pallas_call cannot be GSPMD-partitioned)."""
+    The mode is threaded through the forward as a static jit argument —
+    there is deliberately no process-wide mesh global: under a data mesh the
+    pipeline wraps the forward in shard_map (parallel/embed.py), inside which
+    pallas_call runs per-shard, so 'auto' stays correct there too.
+    """
+    if attn == "fused":
+        return True
+    if attn == "xla":
+        return False
+    if attn != "auto":
+        raise ValueError(f"attn must be 'auto', 'fused' or 'xla', got {attn!r}")
     if os.environ.get("FAD_TPU_FUSED_ATTN", "1").strip().lower() in (
         "0", "false", "off", "no",
     ):
-        return False
-    if _mesh_active:
         return False
     return jax.default_backend() in ("tpu", "axon")
 
@@ -223,11 +224,13 @@ def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: 
     return h.reshape(b, l, c)
 
 
-def _swin_block(p: dict, x: jnp.ndarray, res: int, heads: int, shift: int) -> jnp.ndarray:
+def _swin_block(
+    p: dict, x: jnp.ndarray, res: int, heads: int, shift: int, fused: bool
+) -> jnp.ndarray:
     """x: [B, L, C], pre-norm W-MSA/SW-MSA + MLP with residuals."""
     b, l, c = x.shape
     ws = WINDOW_SIZE
-    if _use_fused_attention():
+    if fused:
         x = _attention_half_fused(p, x, res, heads, shift)
     else:
         shortcut = x
@@ -266,9 +269,14 @@ def _patch_merging(p: dict, x: jnp.ndarray, res: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@jax.jit
-def clap_forward(params: dict, log_mel: jnp.ndarray) -> jnp.ndarray:
-    """[B, 1001, 64] log-mel -> [B, 512] L2-normalized CLAP embeddings."""
+@functools.partial(jax.jit, static_argnames=("attn",))
+def clap_forward(params: dict, log_mel: jnp.ndarray, attn: str = "auto") -> jnp.ndarray:
+    """[B, 1001, 64] log-mel -> [B, 512] L2-normalized CLAP embeddings.
+
+    ``attn`` selects the window-attention implementation ('auto' / 'fused'
+    Pallas / 'xla'); see _resolve_attn.
+    """
+    fused_attn = _resolve_attn(attn)
     b, t, f = log_mel.shape
     # Bicubic 1001 -> 1024 time interpolation (one matmul).
     interp = jnp.asarray(_bicubic_time_matrix(t, TARGET_T))
@@ -294,7 +302,7 @@ def clap_forward(params: dict, log_mel: jnp.ndarray) -> jnp.ndarray:
         res, heads = _STAGE_RES[i], NUM_HEADS[i]
         for j, blk in enumerate(stage["blocks"]):
             shift = 0 if (j % 2 == 0 or res <= WINDOW_SIZE) else WINDOW_SIZE // 2
-            x = _swin_block(blk, x, res, heads, shift)
+            x = _swin_block(blk, x, res, heads, shift, fused_attn)
         if "downsample" in stage:
             x = _patch_merging(stage["downsample"], x, res)
     # Final norm + global token mean (HTSAT latent avgpool) + projection.
@@ -305,7 +313,10 @@ def clap_forward(params: dict, log_mel: jnp.ndarray) -> jnp.ndarray:
     proj = params["projection"]
     emb = jax.nn.relu(common.linear(emb, **proj["fc1"]))
     emb = common.linear(emb, **proj["fc2"])
-    return emb / jnp.linalg.norm(emb, axis=-1, keepdims=True)
+    # torch F.normalize semantics: clamp the norm (eps=1e-12) so an exactly
+    # zero embedding maps to the zero vector, not NaN (reference:
+    # export_clap.py:149 uses F.normalize).
+    return emb / jnp.maximum(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
 
 # ---------------------------------------------------------------------------

@@ -51,7 +51,9 @@ def vggish_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
     # Trace-time guard: a transposed [B, 64, 96] input pools to the same
     # flattened 12288 features and returns numerically valid garbage, so the
     # mistake must fail loudly here rather than corrupt scores silently.
-    assert x.shape[-2:] == (96, 64), f"expected [..., 96, 64] patches, got {x.shape}"
+    # (ValueError, not assert: python -O must not strip the guard.)
+    if x.shape[-2:] != (NUM_FRAMES, NUM_BANDS):
+        raise ValueError(f"expected [..., 96, 64] patches, got {x.shape}")
     h = x[..., None]  # NHWC
     conv_i = 0
     for v in CONV_CFG:

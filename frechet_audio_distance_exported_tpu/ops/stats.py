@@ -65,12 +65,13 @@ def update_stats(state: StreamingStats, x: jnp.ndarray, mask: jnp.ndarray) -> St
     in their natural [B, P, d] shape without an eager reshape dispatch)."""
     x = x.reshape(-1, x.shape[-1])
     mask = mask.reshape(-1).astype(x.dtype)
-    xc = x - state.shift
-    xm = xc * mask[:, None]
+    # where (not multiply): a NaN/Inf in a masked-out padded row must drop
+    # out entirely — 0 * NaN is NaN and would poison every accumulator.
+    xc = jnp.where(mask[:, None] > 0, x - state.shift, 0.0)
     return StreamingStats(
         n=state.n + jnp.sum(mask),
-        s=state.s + jnp.sum(xm, axis=0),
-        ss=state.ss + jnp.matmul(xm.T, xc, preferred_element_type=jnp.float32),
+        s=state.s + jnp.sum(xc, axis=0),
+        ss=state.ss + jnp.matmul(xc.T, xc, preferred_element_type=jnp.float32),
         shift=state.shift,
     )
 
@@ -82,7 +83,8 @@ def init_update_stats(x: jnp.ndarray, mask: jnp.ndarray) -> StreamingStats:
     shift/init/update dispatches."""
     x = x.reshape(-1, x.shape[-1])
     mask = mask.reshape(-1).astype(x.dtype)
-    shift = jnp.sum(x * mask[:, None], axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
+    xm = jnp.where(mask[:, None] > 0, x, 0.0)  # NaN-proof masking (see update_stats)
+    shift = jnp.sum(xm, axis=0) / jnp.maximum(jnp.sum(mask), 1.0)
     state = StreamingStats(
         n=jnp.zeros((), x.dtype),
         s=jnp.zeros((x.shape[-1],), x.dtype),

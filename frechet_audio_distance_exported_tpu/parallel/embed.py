@@ -51,13 +51,14 @@ def make_sharded_embed_stats(
 
     def _local(params, rows, mask):
         emb = model_fn(params, rows)
+        # where (not multiply) so a NaN in a masked padded row drops out.
+        emb = jnp.where(mask[:, None] > 0, emb, 0.0)
         n = jax.lax.psum(jnp.sum(mask), DATA_AXIS)
-        s_raw = jax.lax.psum(jnp.sum(emb * mask[:, None], axis=0), DATA_AXIS)
+        s_raw = jax.lax.psum(jnp.sum(emb, axis=0), DATA_AXIS)
         mu = s_raw / jnp.maximum(n, 1.0)
-        emb_c = emb - mu
-        emb_cm = emb_c * mask[:, None]
+        emb_c = jnp.where(mask[:, None] > 0, emb - mu, 0.0)
         ss = jax.lax.psum(
-            jnp.matmul(emb_cm.T, emb_c, preferred_element_type=jnp.float32), DATA_AXIS
+            jnp.matmul(emb_c.T, emb_c, preferred_element_type=jnp.float32), DATA_AXIS
         )
         s_c = s_raw - n * mu  # == 0 up to rounding; keeps finalize_stats exact
         return n, s_c, ss, mu

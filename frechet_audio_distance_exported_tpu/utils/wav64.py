@@ -123,7 +123,9 @@ def write_rf64(path: str, data: np.ndarray, sample_rate: int) -> None:
     )
     ds64 = struct.pack(
         "<QQQI",
-        4 + 8 * 4 + 28 + len(fmt) + len(payload) + (len(payload) & 1),  # riffSize
+        # riffSize = bytes after the 8-byte RIFF header: "WAVE" + three
+        # chunks (ds64 body is 28 bytes) + data pad byte.
+        4 + 8 * 3 + 28 + len(fmt) + len(payload) + (len(payload) & 1),  # riffSize
         len(payload),  # dataSize
         len(payload) // (2 * channels),  # sampleCount
         0,  # table length

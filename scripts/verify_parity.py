@@ -19,14 +19,25 @@ bundles) are absent:
   sanity         self-contained: FAD finite & positive for different dirs,
                  |FAD| <= 1e-3 for identical dirs (cf. verify_encodec.py:313)
 
+Push-button mode (VERDICT r2 #1): ``--fetch`` downloads whatever real weights
+are reachable — the reference's own torch artifacts from its GitHub release
+URLs (registry.EXPORTED_MODEL_URLS, converted in-process to .npz), falling
+back to real upstream checkpoints from the HF hub (tools/from_transformers.py)
+for CLAP/Encodec — and ``--json`` writes a machine-readable
+PARITY_RESULTS.json recording every check's PASS/FAIL/SKIP + detail, so one
+networked run produces the full real-weight parity record and a zero-egress
+run reports exactly which checks are blocked and why.
+
 Usage:
   python scripts/verify_parity.py --model vggish [--ckpt-dir DIR] [--weights random]
-  python scripts/verify_parity.py --all
+  python scripts/verify_parity.py --all --fetch --json PARITY_RESULTS.json
+  scripts/run_full_parity.sh          # the one-command wrapper
 """
 
 from __future__ import annotations
 
 import argparse
+import json
 import os
 import sys
 import tempfile
@@ -38,6 +49,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REFERENCE_ROOT = os.environ.get("FAD_REFERENCE_ROOT", "/root/reference")
 
+# Machine-readable record: {model: {check: {"status": ..., "detail": ...}}},
+# populated by _result via _CURRENT_MODEL (script-scope pragmatism).
+RESULTS: dict = {}
+_CURRENT_MODEL = ["-"]
+
 
 def _sine(duration, freq, sr):
     t = np.linspace(0, duration, int(sr * duration), dtype=np.float32)
@@ -46,6 +62,7 @@ def _sine(duration, freq, sr):
 
 def _result(name, status, detail=""):
     print(f"  [{status:^4}] {name}" + (f" — {detail}" if detail else ""))
+    RESULTS.setdefault(_CURRENT_MODEL[0], {})[name] = {"status": status, "detail": detail}
     return status != "FAIL"
 
 
@@ -207,6 +224,63 @@ def check_sanity(model_name: str, ckpt_dir: str, weights: str) -> bool:
                    f"different {diff_score:.3e}, identical {same_score:.1e}")
 
 
+def fetch_model(model_name: str, ckpt_dir: str) -> dict:
+    """Best-effort real-weight staging for one model (--fetch).
+
+    1. Download the reference torch artifact (registry.EXPORTED_MODEL_URLS,
+       the reference's own download-on-miss URL set, reference: fad.py:95-106)
+       into ckpt_dir — this is the ground-truth weight source AND what the
+       embeddings/fad checks run the torch side against.
+    2. Convert it to the .npz bundle via the normal get_params auto chain.
+    3. If the artifact is unreachable, fall back to real upstream weights
+       from the HF hub for CLAP/Encodec (tools/from_transformers.py).
+
+    Returns a status dict for PARITY_RESULTS.json; never raises.
+    """
+    from frechet_audio_distance_exported_tpu import registry
+    from frechet_audio_distance_exported_tpu.utils import download as dl
+    from frechet_audio_distance_exported_tpu.utils import weights as weight_store
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    cfg = registry.get_model_config(model_name)
+    rec = {"artifact": "present", "bundle": "present"}
+
+    artifact = os.path.join(ckpt_dir, cfg.reference_artifact)
+    if not os.path.exists(artifact):
+        if dl.offline():
+            rec["artifact"] = "blocked: FAD_TPU_OFFLINE=1 (zero-egress environment)"
+        else:
+            try:
+                print(f"  [fetch] {registry.EXPORTED_MODEL_URLS[model_name]}")
+                dl.download_url_to_file(
+                    registry.EXPORTED_MODEL_URLS[model_name], artifact,
+                    sha256=registry.EXPORTED_MODEL_SHA256.get(model_name))
+                rec["artifact"] = "downloaded"
+            except Exception as e:
+                rec["artifact"] = f"blocked: {type(e).__name__}: {e}"
+                if os.path.exists(artifact):
+                    os.remove(artifact)
+
+    bundle = os.path.join(ckpt_dir, cfg.weight_filename)
+    if not os.path.exists(bundle):
+        try:
+            weight_store.get_params(model_name, ckpt_dir, weights="auto")
+            rec["bundle"] = "converted"
+        except Exception as e:
+            rec["bundle"] = f"blocked: {type(e).__name__}: {e}"
+            # Fallback: real upstream weights from the HF hub (CLAP/Encodec).
+            if cfg.family in ("clap", "encodec") and not dl.offline():
+                try:
+                    from tools.from_transformers import fetch_and_convert
+
+                    fetch_and_convert(model_name, ckpt_dir)
+                    rec["bundle"] = "converted (HF hub upstream weights)"
+                except Exception as e2:
+                    rec["bundle"] += f"; HF fallback blocked: {type(e2).__name__}: {e2}"
+    print(f"  [fetch] artifact: {rec['artifact']}; bundle: {rec['bundle']}")
+    return rec
+
+
 def main():
     # Deterministic CPU numerics for the harness (the environment's
     # sitecustomize force-selects the TPU platform and overrides the
@@ -229,18 +303,51 @@ def main():
     ap.add_argument("--all", action="store_true")
     ap.add_argument("--ckpt-dir", default=registry.default_ckpt_dir())
     ap.add_argument("--weights", default="auto", choices=["auto", "random"])
+    ap.add_argument("--fetch", action="store_true",
+                    help="download real weights (reference artifacts / HF hub) first")
+    ap.add_argument("--json", default=None, metavar="PATH",
+                    help="write machine-readable results (PARITY_RESULTS.json)")
     args = ap.parse_args()
     if not args.all and not args.model:
         ap.error("--model or --all required")
 
     names = sorted(registry.VALID_MODELS) if args.all else [args.model]
+    fetch_record = {}
     all_ok = True
     for name in names:
         print(f"== {name} ==")
+        _CURRENT_MODEL[0] = name
+        if args.fetch:
+            fetch_record[name] = fetch_model(name, args.ckpt_dir)
         all_ok &= check_preprocessing(name)
         all_ok &= check_embeddings(name, args.ckpt_dir)
         all_ok &= check_fad_vs_reference(name, args.ckpt_dir)
         all_ok &= check_sanity(name, args.ckpt_dir, args.weights)
+
+    if args.json:
+        statuses = [c["status"] for m in RESULTS.values() for c in m.values()]
+        blocked = sorted(
+            f"{m}/{chk}: {c['detail']}"
+            for m, checks in RESULTS.items()
+            for chk, c in checks.items()
+            if c["status"] == "SKIP"
+        )
+        payload = {
+            "overall": ("FAIL" if "FAIL" in statuses
+                        else "PASS" if statuses and "SKIP" not in statuses
+                        else "PARTIAL"),
+            "pass": statuses.count("PASS"),
+            "fail": statuses.count("FAIL"),
+            "skip": statuses.count("SKIP"),
+            "models": RESULTS,
+            "blocked": blocked,
+        }
+        if fetch_record:
+            payload["fetch"] = fetch_record
+        with open(args.json, "w") as f:
+            json.dump(payload, f, indent=2)
+        print(f"[verify_parity] wrote {args.json} "
+              f"({payload['pass']} PASS / {payload['fail']} FAIL / {payload['skip']} SKIP)")
     sys.exit(0 if all_ok else 1)
 
 

@@ -84,23 +84,31 @@ def test_model_dtype_rejects_typos(monkeypatch):
         model_dtype()
 
 
-def test_fused_attention_disabled_under_mesh():
-    """pallas_call cannot be GSPMD-partitioned: setting a mesh on a CLAP
-    pipeline must force the XLA attention path (clap.set_mesh_mode)."""
+def test_attn_mode_is_a_static_arg_not_a_global():
+    """The attention implementation is threaded through clap_forward as a
+    static argument ('auto'/'fused'/'xla') — no process-wide mesh global, so
+    meshed and unmeshed CLAP pipelines can coexist in one process. Under a
+    mesh the pipeline swaps in a shard_map-wrapped forward (inside which the
+    fused Pallas kernel runs per-shard) and restores the plain one on
+    set_mesh(None)."""
     import jax
+    import pytest as _pytest
 
     from frechet_audio_distance_exported_tpu.models import clap
     from frechet_audio_distance_exported_tpu.parallel.mesh import data_mesh
     from frechet_audio_distance_exported_tpu.pipeline import EmbeddingPipeline
 
+    assert clap._resolve_attn("fused") is True
+    assert clap._resolve_attn("xla") is False
+    with _pytest.raises(ValueError, match="attn"):
+        clap._resolve_attn("fast")
+
     pipe = EmbeddingPipeline("clap", clap.init_clap_params(jax.random.PRNGKey(0)))
-    try:
-        pipe.set_mesh(data_mesh())
-        assert clap._mesh_active and not clap._use_fused_attention()
-        pipe.set_mesh(None)
-        assert not clap._mesh_active
-    finally:
-        clap.set_mesh_mode(False)
+    base = pipe._forward
+    pipe.set_mesh(data_mesh())
+    assert pipe._forward is not base  # shard_map-wrapped
+    pipe.set_mesh(None)
+    assert pipe._forward is base
 
 
 def test_bf16_encodec_mixed_precision(monkeypatch):

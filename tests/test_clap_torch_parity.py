@@ -173,3 +173,15 @@ def test_bicubic_matrix_matches_torch():
     # The dense [1024, 1001] float32 matmul accumulates ~1e-4 noise vs
     # torch's 4-tap kernel evaluation; structure/weights are exact.
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
+
+
+def test_l2_normalize_clamps_zero_embedding():
+    """torch F.normalize semantics: an exactly-zero projection output maps to
+    the zero vector, not NaN (0/0). Regression: zero-padded batch rows under
+    random init embed to zero and poisoned masked device statistics."""
+    import jax
+
+    params = jclap.init_clap_params(jax.random.PRNGKey(0))
+    zero_mel = np.zeros((1, 1001, 64), np.float32)
+    out = np.asarray(jclap.clap_forward(params, zero_mel))
+    assert np.isfinite(out).all()

@@ -1,0 +1,104 @@
+"""Committed frontend goldens (tools/make_goldens.py): a regression in mel or
+resampler numerics fails these tests against frozen arrays, not just against
+the independent in-repo reimplementations (test_dsp.py, test_resample.py).
+
+When librosa / resampy are importable (not baked into this image), the goldens
+are additionally cross-checked against those packages' own output — the same
+recipe the reference uses (models/pann.py:107-136 librosa STFT+mel,
+fad.py:157-159 resampy kaiser_best).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+def _sine(duration, freq, sr):
+    t = np.linspace(0, duration, int(sr * duration), dtype=np.float32)
+    return (np.sin(2 * np.pi * freq * t) * 0.5).astype(np.float32)
+
+
+def _load(name):
+    return np.load(os.path.join(GOLDEN_DIR, name))
+
+
+@pytest.mark.parametrize("sr", [8000, 16000, 32000, 48000])
+def test_pann_logmel_matches_golden(sr):
+    golden = _load(f"pann_logmel_sine440_2s_{sr}.npy")
+    ours = np.asarray(
+        fe.waveform_to_logmel(_sine(2.0, 440.0, sr), sr, target_sample_rate=sr,
+                              return_tensor=False)
+    )
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=0, atol=1e-4)  # dB
+
+
+def test_clap_mel_matches_golden():
+    golden = _load("clap_mel_sine440_2s_padded.npy")
+    audio = _sine(2.0, 440.0, 48000)
+    padded = np.pad(audio, (0, fe.CLAP_MAX_SAMPLES - len(audio)))
+    ours = np.asarray(fe.preprocess_for_clap(padded, 48000, return_tensor=False))
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=0, atol=1e-4)
+
+
+@pytest.mark.parametrize(
+    "name,src_sr,dst_sr,channels,duration",
+    [
+        ("encodec_pre_sine440_1s_16k_to_24k.npy", 16000, 24000, 1, 1.0),
+        ("encodec_pre_sine440_05s_32k_to_48k_stereo.npy", 32000, 48000, 2, 0.5),
+    ],
+)
+def test_encodec_preprocess_matches_golden(name, src_sr, dst_sr, channels, duration):
+    golden = _load(name)
+    ours = np.asarray(
+        fe.preprocess_for_encodec(_sine(duration, 440.0, src_sr), src_sr, dst_sr,
+                                  channels, return_tensor=False)
+    )
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, rtol=0, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Cross-checks against the packages the reference itself uses — skipped where
+# they are not installed, PASSing the first time they are importable.
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sr,n_fft,hop,fmin,fmax", [
+    (8000, 256, 80, 50, 4000),
+    (16000, 512, 160, 50, 8000),
+    (32000, 1024, 320, 50, 14000),
+    (48000, 1024, 480, 50, 14000),
+])
+def test_pann_golden_matches_librosa(sr, n_fft, hop, fmin, fmax):
+    """Golden vs librosa's own STFT+mel per the reference recipe
+    (models/pann.py:107-136): center=True reflect pad, hann, power |.|^2,
+    Slaney mel 64 bins, 10*log10(max(mel, 1e-10)). Bar: the reference's own
+    0.5 dB (verify_pann.py:147)."""
+    librosa = pytest.importorskip("librosa")
+    golden = _load(f"pann_logmel_sine440_2s_{sr}.npy")
+    audio = _sine(2.0, 440.0, sr)
+    stft = librosa.stft(audio.astype(np.float64), n_fft=n_fft, hop_length=hop,
+                        window="hann", center=True, pad_mode="reflect")
+    power = np.abs(stft) ** 2
+    mel_basis = librosa.filters.mel(sr=sr, n_fft=n_fft, n_mels=64, fmin=fmin, fmax=fmax)
+    mel = mel_basis @ power
+    ref = 10.0 * np.log10(np.maximum(mel, 1e-10)).T  # [T, 64]
+    assert golden.shape == ref.shape
+    assert float(np.max(np.abs(golden - ref))) < 0.5
+
+
+def test_encodec_golden_matches_resampy():
+    """Golden vs resampy.resample(filter='kaiser_best') — the reference's
+    resampler (fad.py:157-159, encodec.py:117-123)."""
+    resampy = pytest.importorskip("resampy")
+    golden = _load("encodec_pre_sine440_1s_16k_to_24k.npy")
+    ref = resampy.resample(_sine(1.0, 440.0, 16000).astype(np.float64), 16000, 24000)
+    assert golden.shape[-1] == ref.shape[-1]
+    assert float(np.max(np.abs(golden[0] - ref))) < 1e-4

@@ -9,10 +9,16 @@ from frechet_audio_distance_exported_tpu import FrechetAudioDistance
 from frechet_audio_distance_exported_tpu.parallel import mesh as mesh_mod
 
 
-@pytest.mark.parametrize("model", ["vggish", "pann-16k"])
+@pytest.mark.parametrize("model", ["vggish", "pann-16k", "clap", "encodec-24k"])
 def test_mesh_embeddings_match_single_device(model, sine_audio):
+    """All four families under the mesh: vggish/pann take the GSPMD path,
+    CLAP the shard_map-wrapped forward (pipeline.set_mesh), Encodec the
+    masked frame-count path with fixed 10 s inputs."""
     sr = 16000
-    clips = [sine_audio(1.5, 440.0 + 30 * i, sr) for i in range(5)]
+    # Short clips keep the CPU Swin/LSTM cost bounded; CLAP/Encodec pad to
+    # their fixed shapes internally, so the mesh path is fully exercised.
+    n = 3 if model in ("clap", "encodec-24k") else 5
+    clips = [sine_audio(1.5, 440.0 + 30 * i, sr) for i in range(n)]
 
     fad = FrechetAudioDistance(model_name=model, weights="random")
     single = fad.get_embeddings(clips, sr)
@@ -23,6 +29,29 @@ def test_mesh_embeddings_match_single_device(model, sine_audio):
 
     assert sharded.shape == single.shape
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("model", ["clap", "encodec-24k"])
+def test_mesh_device_stats_match_host(model, sine_audio):
+    """Sharded accumulate_stats (sink path) == host-gathered statistics for
+    the two families the round-2 mesh tests never exercised (CLAP's
+    shard_map forward; Encodec's per-frame masks under sharding)."""
+    from frechet_audio_distance_exported_tpu.ops import stats as stats_ops
+
+    sr = 16000
+    clips = [sine_audio(1.2, 440.0 + 40 * i, sr) for i in range(3)]
+
+    fad = FrechetAudioDistance(model_name=model, weights="random")
+    emb = fad.get_embeddings(clips, sr)
+    mu_host, sigma_host = fad.calculate_embd_statistics(emb)
+
+    fad_mesh = FrechetAudioDistance(model_name=model, weights="random")
+    fad_mesh.pipeline.set_mesh(mesh_mod.data_mesh())
+    state = fad_mesh.pipeline.accumulate_stats(clips, sr)
+    mu_dev, sigma_dev = (np.asarray(a) for a in stats_ops.finalize_stats(state))
+
+    np.testing.assert_allclose(mu_dev, mu_host, rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(sigma_dev, sigma_host, rtol=1e-3, atol=1e-6)
 
 
 def test_mesh_device_stats_score(tmp_path, sine_audio):

@@ -75,7 +75,7 @@ def test_swin_block_fused_path_matches_xla_path(monkeypatch):
     b, res, heads = 2, M._STAGE_RES[0], M.NUM_HEADS[0]
     x = jax.random.normal(jax.random.PRNGKey(2), (b, res * res, C), jnp.float32) * 0.5
 
-    ref = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2)
+    ref = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2, fused=False)
 
     # Build the fused half manually in interpret mode, then the MLP half.
     import frechet_audio_distance_exported_tpu.ops.pallas_window_attn as W
@@ -87,6 +87,5 @@ def test_swin_block_fused_path_matches_xla_path(monkeypatch):
         return orig(*args, **kw)
 
     monkeypatch.setattr(W, "window_attention_fused", interp_kernel)
-    monkeypatch.setattr(M, "_use_fused_attention", lambda: True)
-    fused = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2)
+    fused = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2, fused=True)
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)

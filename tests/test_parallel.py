@@ -72,3 +72,34 @@ def test_sharded_score_step_matches_host():
     # Mean-centered sharded accumulation + f32 eigh epilogue: inside the
     # <=1e-3 parity bar (was 2e-2 with the shift=0 accumulator).
     assert abs(fused - ref) / ref < 1e-3, (fused, ref)
+
+
+def test_sharded_score_step_matches_host_real_cnn(vggish_params):
+    """Fused shard_map scoring step with the REAL VGGish CNN (VERDICT r2 #9;
+    complements the linear stand-in above). Random-init embeddings are
+    ~1e-3-scale, which puts raw FAD below float32 resolution — the embedding
+    is scaled to O(1) inside the step (a linear map, preserved exactly by
+    both paths) so the <=1e-3 relative bar is meaningful."""
+    m = mesh.data_mesh()
+    n_dev = len(jax.devices())
+    b = 4 * n_dev
+
+    def scaled_vggish(params, x):
+        return vggish_forward(params, x) * 300.0
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    rows_bg = jax.random.normal(k1, (b, 96, 64))
+    rows_ev = jax.random.normal(k2, (b, 96, 64)) * 1.5 + 0.4
+    mask_bg = jnp.ones((b,))
+    mask_ev = jnp.ones((b,)).at[-2:].set(0.0)  # masked rows drop out
+
+    step = embed.make_sharded_score_step(m, scaled_vggish)
+    fused = float(step(vggish_params, rows_bg, mask_bg, rows_ev, mask_ev))
+
+    e1 = np.asarray(scaled_vggish(vggish_params, rows_bg), dtype=np.float64)
+    e2 = np.asarray(scaled_vggish(vggish_params, rows_ev), dtype=np.float64)[:-2]
+    ref = st.frechet_distance_np(
+        e1.mean(0), np.cov(e1, rowvar=False), e2.mean(0), np.cov(e2, rowvar=False)
+    )
+    assert ref > 0.1  # meaningful scale
+    assert abs(fused - ref) / ref < 1e-3, (fused, ref)

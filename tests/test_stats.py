@@ -186,3 +186,29 @@ class TestEighHostEpilogue:
         x = rng.standard_normal((50, 32))
         mu, s = x.mean(0), np.cov(x, rowvar=False)
         assert abs(st.frechet_distance_eigh_np(mu, s, mu, s)) < 1e-9
+
+
+class TestMaskedNaNRows:
+    def test_masked_nan_rows_drop_out(self):
+        """A NaN/Inf in a masked-out padded row must not poison the sums
+        (0 * NaN is NaN — the accumulators use where(), not multiply).
+        Regression: CLAP zero-padded batch rows can embed to NaN-adjacent
+        values under random init; the sink path masks them out."""
+        rng = np.random.default_rng(7)
+        x = rng.standard_normal((6, 8)).astype(np.float32)
+        x_bad = x.copy()
+        x_bad[4:] = np.nan
+        mask = np.array([1, 1, 1, 1, 0, 0], np.float32)
+
+        st1 = st.init_update_stats(jnp.asarray(x[:4]), jnp.ones((4,), jnp.float32))
+        st2 = st.init_update_stats(jnp.asarray(x_bad), jnp.asarray(mask))
+        mu1, s1 = (np.asarray(a) for a in st.finalize_stats(st1))
+        mu2, s2 = (np.asarray(a) for a in st.finalize_stats(st2))
+        assert np.isfinite(mu2).all() and np.isfinite(s2).all()
+        np.testing.assert_allclose(mu2, mu1, rtol=1e-6)
+        np.testing.assert_allclose(s2, s1, rtol=1e-5, atol=1e-7)
+
+        # Same for a follow-up update chunk.
+        st3 = st.update_stats(st1, jnp.asarray(x_bad), jnp.asarray(mask))
+        mu3, s3 = (np.asarray(a) for a in st.finalize_stats(st3))
+        assert np.isfinite(mu3).all() and np.isfinite(s3).all()

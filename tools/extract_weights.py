@@ -74,6 +74,23 @@ def _load_state_dict(artifact_path: str):
     return dict(module.state_dict()), module
 
 
+def _load_plain_checkpoint(artifact_path: str) -> dict:
+    """Plain tensor state dict from a .pth checkpoint (torchvggish hub /
+    Zenodo Cnn14 files are plain dicts — weights_only=True keeps a malicious
+    pickle from executing code during extraction)."""
+    import torch
+
+    try:
+        ckpt = torch.load(artifact_path, map_location="cpu", weights_only=True)
+    except Exception as e:
+        raise ValueError(
+            f"{artifact_path} is not a plain tensor state dict (refusing to "
+            f"unpickle arbitrary objects; re-save the checkpoint as a plain "
+            f"state dict with torch.save(model.state_dict(), ...)): {e}"
+        ) from e
+    return ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+
+
 # ---------------------------------------------------------------------------
 # VGGish (reference: models/vggish.py:54-95; conv indices 0,3,6,8,11,13 of the
 # features Sequential, linears 0,2,4 of embeddings)
@@ -86,10 +103,7 @@ def extract_vggish(artifact_path: str):
     harritaylor/torchvggish) — both use the same features/embeddings
     Sequential indices (reference: export_vggish.py:36-61)."""
     if artifact_path.endswith(".pth"):
-        import torch
-
-        ckpt = torch.load(artifact_path, map_location="cpu", weights_only=False)
-        sd = ckpt["model"] if isinstance(ckpt, dict) and "model" in ckpt else ckpt
+        sd = _load_plain_checkpoint(artifact_path)
     else:
         sd, _ = _load_state_dict(artifact_path)
     sd = _strip_prefixes(sd)
@@ -108,10 +122,7 @@ def extract_vggish(artifact_path: str):
 
 def extract_pann(artifact_path: str):
     if artifact_path.endswith(".pth"):
-        import torch
-
-        ckpt = torch.load(artifact_path, map_location="cpu", weights_only=False)
-        sd = ckpt["model"] if "model" in ckpt else ckpt
+        sd = _load_plain_checkpoint(artifact_path)
     else:
         sd, _ = _load_state_dict(artifact_path)
     sd = _strip_prefixes(sd)
