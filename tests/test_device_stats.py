@@ -63,3 +63,36 @@ def test_device_stats_score_end_to_end(vggish_fad, tmp_path, sine_audio):
     assert s_dev == pytest.approx(s_host, rel=0.2, abs=1e-6)
     # identical dirs -> ~0
     assert abs(vggish_fad.score(str(bg), str(bg), device_stats=True)) < 1e-3
+
+
+def test_fused_sink_matches_generic_callable_sink(vggish_fad, sine_audio):
+    """The StatsSink fused path (mask build + update inside the chunk
+    program, one dispatch per chunk — round 3) must equal the generic
+    callable-sink path it replaced (host mask + separate update_stats)."""
+    import jax.numpy as jnp
+
+    clips = _clips(sine_audio)
+    fused_state = vggish_fad.pipeline.accumulate_stats(clips, 16000)
+
+    box = {"state": None}
+
+    def generic_sink(rows, mask):
+        if mask is None:
+            mask = np.ones(rows.shape[:-1], np.float32)
+        if box["state"] is None:
+            box["state"] = st.init_update_stats(rows, jnp.asarray(mask))
+        else:
+            box["state"] = st.update_stats(box["state"], rows, jnp.asarray(mask))
+
+    vggish_fad.pipeline.embed_files(clips, 16000, sink=generic_sink)
+
+    for fused, generic in [
+        (st.finalize_stats(fused_state), st.finalize_stats(box["state"]))
+    ]:
+        np.testing.assert_allclose(
+            np.asarray(fused[0]), np.asarray(generic[0]), rtol=1e-5, atol=1e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(fused[1]), np.asarray(generic[1]), rtol=1e-4, atol=1e-7
+        )
+    assert float(fused_state.n) == float(box["state"].n)
