@@ -334,19 +334,25 @@ def main():
     # other family so regressions in pann/clap/encodec are driver-visible
     # (VERDICT r2 #6) — each family guarded so one wedge/compile failure
     # cannot zero the rest of the record.
-    _arm_watchdog(1500)
+    # Per-family watchdog re-arm: a full 7-family run measured 1230 s through
+    # the tunnel (compiles dominate), so one global deadline either truncates
+    # a healthy run or waits forever on a wedged one. 600 s of no-progress
+    # per family emits the partial record instead.
+    _arm_watchdog(600)
+    import signal
+
     value = bench_vggish()
     DRIVER_RECORD["value"] = round(value, 3)
     DRIVER_RECORD["families"]["vggish"] = round(value, 3)
     for name, fn in FAMILY_BENCHES.items():
         if name == "vggish":
             continue
+        signal.alarm(600)
         try:
             DRIVER_RECORD["families"][name] = round(fn(), 3)
         except Exception as e:
             DRIVER_RECORD["families"][name] = 0.0
             print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
-    import signal
 
     signal.alarm(0)
     baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
