@@ -9,11 +9,14 @@ from frechet_audio_distance_exported_tpu import FrechetAudioDistance
 from frechet_audio_distance_exported_tpu.parallel import mesh as mesh_mod
 
 
-@pytest.mark.parametrize("model", ["vggish", "pann-16k", "clap", "encodec-24k"])
+@pytest.mark.parametrize(
+    "model", ["vggish", "pann-8k", "pann-16k", "pann-32k", "clap", "encodec-24k"]
+)
 def test_mesh_embeddings_match_single_device(model, sine_audio):
-    """All four families under the mesh: vggish/pann take the GSPMD path,
-    CLAP the shard_map-wrapped forward (pipeline.set_mesh), Encodec the
-    masked frame-count path with fixed 10 s inputs."""
+    """All families under the mesh: vggish/pann take the GSPMD path (the
+    8k/32k variants add the cross-SR resample before sharding), CLAP the
+    shard_map-wrapped forward (pipeline.set_mesh), Encodec the masked
+    frame-count path with fixed 10 s inputs."""
     sr = 16000
     # Short clips keep the CPU Swin/LSTM cost bounded; CLAP/Encodec pad to
     # their fixed shapes internally, so the mesh path is fully exercised.
