@@ -70,6 +70,17 @@ def test_encodec_preprocess_matches_golden(name, src_sr, dst_sr, channels, durat
 # ---------------------------------------------------------------------------
 
 
+def _import_real(name):
+    """importorskip that also skips the in-suite stub modules other test
+    files install into sys.modules (test_dsp/test_reference_* stub resampy/
+    librosa; a stub has no __file__ and would fail here with its own
+    placeholder error instead of skipping)."""
+    mod = pytest.importorskip(name)
+    if getattr(mod, "__file__", None) is None:
+        pytest.skip(f"{name} present only as an in-suite stub")
+    return mod
+
+
 @pytest.mark.parametrize("sr,n_fft,hop,fmin,fmax", [
     (8000, 256, 80, 50, 4000),
     (16000, 512, 160, 50, 8000),
@@ -81,7 +92,7 @@ def test_pann_golden_matches_librosa(sr, n_fft, hop, fmin, fmax):
     (models/pann.py:107-136): center=True reflect pad, hann, power |.|^2,
     Slaney mel 64 bins, 10*log10(max(mel, 1e-10)). Bar: the reference's own
     0.5 dB (verify_pann.py:147)."""
-    librosa = pytest.importorskip("librosa")
+    librosa = _import_real("librosa")
     golden = _load(f"pann_logmel_sine440_2s_{sr}.npy")
     audio = _sine(2.0, 440.0, sr)
     stft = librosa.stft(audio.astype(np.float64), n_fft=n_fft, hop_length=hop,
@@ -97,7 +108,7 @@ def test_pann_golden_matches_librosa(sr, n_fft, hop, fmin, fmax):
 def test_encodec_golden_matches_resampy():
     """Golden vs resampy.resample(filter='kaiser_best') — the reference's
     resampler (fad.py:157-159, encodec.py:117-123)."""
-    resampy = pytest.importorskip("resampy")
+    resampy = _import_real("resampy")
     golden = _load("encodec_pre_sine440_1s_16k_to_24k.npy")
     ref = resampy.resample(_sine(1.0, 440.0, 16000).astype(np.float64), 16000, 24000)
     assert golden.shape[-1] == ref.shape[-1]
