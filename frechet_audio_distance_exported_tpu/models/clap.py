@@ -39,31 +39,42 @@ from . import common
 from ..config import matmul_precision
 
 
-def _resolve_attn(attn: str) -> bool:
-    """Resolve the static ``attn`` mode of clap_forward to use-fused-or-not.
+def _resolve_attn(attn: str) -> str:
+    """Resolve the static ``attn`` mode of clap_forward to one of
+    'xla' | 'fused' | 'fused_block'.
 
-    'fused' / 'xla' force the path; 'auto' picks the fused Pallas window
-    attention on TPU (measured v5e, stage-1 shapes: 2.39 ms vs 4.09 ms for
-    the XLA assembly — the XLA lowering materializes ~600 MB of
-    24-element-minor-dim intermediates per block) unless FAD_TPU_FUSED_ATTN=0,
-    and the XLA assembly on CPU, where Mosaic is unavailable.
+    'fused' fuses LN1 -> window attention -> proj -> residual in one Pallas
+    kernel (measured v5e, stage-1 shapes: 2.39 ms vs 4.09 ms for the XLA
+    assembly — the XLA lowering materializes ~600 MB of 24-element-minor-dim
+    intermediates per block). 'fused_block' additionally keeps the MLP half
+    (LN2 -> fc1 -> exact GELU -> fc2 -> residual) in the same kernel — the
+    MLP is per-token, so running it in window space is exact. 'auto' picks
+    'fused_block' on TPU (FAD_TPU_FUSED_ATTN=0 reverts to 'xla',
+    FAD_TPU_FUSED_BLOCK=0 to attention-only 'fused') and 'xla' on CPU,
+    where Mosaic is unavailable.
 
     The mode is threaded through the forward as a static jit argument —
     there is deliberately no process-wide mesh global: under a data mesh the
     pipeline wraps the forward in shard_map (parallel/embed.py), inside which
     pallas_call runs per-shard, so 'auto' stays correct there too.
     """
-    if attn == "fused":
-        return True
-    if attn == "xla":
-        return False
+    if attn in ("fused", "xla", "fused_block"):
+        return attn
     if attn != "auto":
-        raise ValueError(f"attn must be 'auto', 'fused' or 'xla', got {attn!r}")
-    if os.environ.get("FAD_TPU_FUSED_ATTN", "1").strip().lower() in (
-        "0", "false", "off", "no",
-    ):
-        return False
-    return jax.default_backend() in ("tpu", "axon")
+        raise ValueError(
+            f"attn must be 'auto', 'fused', 'fused_block' or 'xla', got {attn!r}"
+        )
+
+    def _off(name):
+        return os.environ.get(name, "1").strip().lower() in (
+            "0", "false", "off", "no",
+        )
+
+    if _off("FAD_TPU_FUSED_ATTN"):
+        return "xla"
+    if jax.default_backend() not in ("tpu", "axon"):
+        return "xla"
+    return "fused" if _off("FAD_TPU_FUSED_BLOCK") else "fused_block"
 
 EMBEDDING_SIZE = 512
 SPEC_SIZE = 256
@@ -190,11 +201,14 @@ def _window_attention(p: dict, x: jnp.ndarray, heads: int, ws: int, mask: np.nda
     return common.linear(out, p["proj"]["w"], p["proj"]["b"])
 
 
-def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: int):
-    """x + proj(attn(LN1(x))) via the fused Pallas kernel. The kernel adds
-    the residual in window space; rolls/partitions are permutations, so
-    permuting back yields exactly shortcut + attention."""
-    from ..ops.pallas_window_attn import window_attention_fused
+def _fused_call(p: dict, x: jnp.ndarray, res: int, heads: int, shift: int,
+                whole_block: bool):
+    """Window-space Pallas dispatch shared by the attention-half and
+    whole-block kernels: roll/partition -> kernel -> reverse/unroll.
+    Rolls and partitions are permutations and both kernels' math is
+    per-window (the MLP is per-token), so permuting back yields exactly the
+    residual composition."""
+    from ..ops import pallas_window_attn as pwa
 
     b, l, c = x.shape
     ws = WINDOW_SIZE
@@ -208,16 +222,30 @@ def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: 
         mask = jnp.zeros((1, n, n), jnp.float32)
     windows = _window_partition(h, ws)
     bias = _gathered_rel_bias(p["rel_bias"], ws, heads)
-    # Group sweep (v5e, B=32): stage 1 (C=96) is fastest with 2 windows per
-    # grid cell (3.50/2.39/2.42 ms for groups 1/2/4); every wider stage
-    # prefers 1 (stage 3: 1.28/1.84/2.09) — more per-window work means cell
-    # granularity 1 already pipelines, and smaller cells schedule better.
-    group = 2 if c <= 96 else 1
-    out = window_attention_fused(
-        windows, p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
-        bias, mask, p["norm1"]["gamma"], p["norm1"]["beta"],
-        heads=heads, num_windows=nw, group=min(group, nw),
-    )
+    # Group sweep (v5e, B=32). Attention-only kernel: stage 1 (C=96) is
+    # fastest with 2 windows per grid cell (3.50/2.39/2.42 ms for groups
+    # 1/2/4); every wider stage prefers 1. Whole-block kernel: the MLP
+    # roughly triples per-window FLOPs and adds fc1/fc2 weight streaming
+    # per cell, so amortizing over 4 windows wins — full-forward sweep
+    # (scripts/exp_swin_block.py) 342.6/424.4/453.5/394.1/362.4
+    # audio-min/s for global groups 1/2/4/8/16; min(4, nw) caps the
+    # narrow late stages automatically.
+    group = 4 if whole_block else (2 if c <= 96 else 1)
+    if whole_block:
+        out = pwa.swin_block_fused(
+            windows, p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
+            bias, mask, p["norm1"]["gamma"], p["norm1"]["beta"],
+            p["norm2"]["gamma"], p["norm2"]["beta"],
+            p["mlp"]["fc1"]["w"], p["mlp"]["fc1"]["b"],
+            p["mlp"]["fc2"]["w"], p["mlp"]["fc2"]["b"],
+            heads=heads, num_windows=nw, group=min(group, nw),
+        )
+    else:
+        out = pwa.window_attention_fused(
+            windows, p["qkv"]["w"], p["qkv"]["b"], p["proj"]["w"], p["proj"]["b"],
+            bias, mask, p["norm1"]["gamma"], p["norm1"]["beta"],
+            heads=heads, num_windows=nw, group=min(group, nw),
+        )
     h = _window_reverse(out, ws, res, res)
     if shift:
         h = jnp.roll(h, (shift, shift), axis=(1, 2))
@@ -225,13 +253,17 @@ def _attention_half_fused(p: dict, x: jnp.ndarray, res: int, heads: int, shift: 
 
 
 def _swin_block(
-    p: dict, x: jnp.ndarray, res: int, heads: int, shift: int, fused: bool
+    p: dict, x: jnp.ndarray, res: int, heads: int, shift: int, mode: str
 ) -> jnp.ndarray:
-    """x: [B, L, C], pre-norm W-MSA/SW-MSA + MLP with residuals."""
+    """x: [B, L, C], pre-norm W-MSA/SW-MSA + MLP with residuals.
+    mode: 'xla' | 'fused' (Pallas attention half) | 'fused_block' (Pallas
+    whole block, MLP included)."""
     b, l, c = x.shape
     ws = WINDOW_SIZE
-    if fused:
-        x = _attention_half_fused(p, x, res, heads, shift)
+    if mode == "fused_block":
+        return _fused_call(p, x, res, heads, shift, whole_block=True)
+    if mode == "fused":
+        x = _fused_call(p, x, res, heads, shift, whole_block=False)
     else:
         shortcut = x
         h = common.layer_norm(x, **p["norm1"]).reshape(b, res, res, c)

@@ -98,8 +98,9 @@ def test_attn_mode_is_a_static_arg_not_a_global():
     from frechet_audio_distance_exported_tpu.parallel.mesh import data_mesh
     from frechet_audio_distance_exported_tpu.pipeline import EmbeddingPipeline
 
-    assert clap._resolve_attn("fused") is True
-    assert clap._resolve_attn("xla") is False
+    assert clap._resolve_attn("fused") == "fused"
+    assert clap._resolve_attn("fused_block") == "fused_block"
+    assert clap._resolve_attn("xla") == "xla"
     with _pytest.raises(ValueError, match="attn"):
         clap._resolve_attn("fast")
 

@@ -75,7 +75,7 @@ def test_swin_block_fused_path_matches_xla_path(monkeypatch):
     b, res, heads = 2, M._STAGE_RES[0], M.NUM_HEADS[0]
     x = jax.random.normal(jax.random.PRNGKey(2), (b, res * res, C), jnp.float32) * 0.5
 
-    ref = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2, fused=False)
+    ref = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2, mode="xla")
 
     # Build the fused half manually in interpret mode, then the MLP half.
     import frechet_audio_distance_exported_tpu.ops.pallas_window_attn as W
@@ -87,5 +87,29 @@ def test_swin_block_fused_path_matches_xla_path(monkeypatch):
         return orig(*args, **kw)
 
     monkeypatch.setattr(W, "window_attention_fused", interp_kernel)
-    fused = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2, fused=True)
+    fused = M._swin_block(blk, x, res, heads, M.WINDOW_SIZE // 2, mode="fused")
     np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=2e-6)
+
+
+@pytest.mark.parametrize("shift", [0, WS // 2])
+def test_whole_block_fused_matches_xla_path(monkeypatch, shift):
+    """The whole-block kernel (attention + MLP halves in one pallas_call)
+    equals the default XLA block."""
+    import frechet_audio_distance_exported_tpu.ops.pallas_window_attn as W
+
+    params = M.init_clap_params(jax.random.PRNGKey(3))
+    blk = params["stages"][0]["blocks"][1 if shift else 0]
+    b, res, heads = 2, M._STAGE_RES[0], M.NUM_HEADS[0]
+    x = jax.random.normal(jax.random.PRNGKey(4), (b, res * res, C), jnp.float32) * 0.5
+
+    ref = M._swin_block(blk, x, res, heads, shift, mode="xla")
+
+    orig = W.swin_block_fused
+
+    def interp_kernel(*args, **kw):
+        kw["interpret"] = True
+        return orig(*args, **kw)
+
+    monkeypatch.setattr(W, "swin_block_fused", interp_kernel)
+    fused = M._swin_block(blk, x, res, heads, shift, mode="fused_block")
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(ref), atol=3e-6)
