@@ -326,7 +326,11 @@ def main():
                 p["gn"]["gamma"] = p["gn"]["gamma"] * 1.7 + 0.3
                 p["gn"]["beta"] = p["gn"]["beta"] + 0.1
             a = stock(p, x, kernel, stride, causal)
-            for name, variant in (("corr", corr), ("gncorr", folded)):
+            for name, variant in (
+                ("corr", corr), ("gncorr", folded),
+                ("folddus", make_sconv_folded(enc, common, "dus")),
+                ("foldwhr", make_sconv_folded(enc, common, "where")),
+            ):
                 b = variant(p, x, kernel, stride, causal)
                 assert a.shape == b.shape, (a.shape, b.shape, kernel, stride, causal)
                 d = float(jnp.max(jnp.abs(a - b)))
@@ -376,14 +380,11 @@ def main():
         variants = [
             ("stock ", stock),
             ("nofix ", nofix),
-            ("gninl ", make_sconv_gncorr(enc, common, edges=False)),
-            ("gnc_nm", make_sconv_gncorr(enc, common, madj=False)),
-            ("gnc_nz", make_sconv_gncorr(enc, common, zadd=False)),
-            ("gncorr", folded),
+            ("folddus", make_sconv_folded(enc, common, "dus")),
+            ("foldwhr", make_sconv_folded(enc, common, "where")),
         ]
         if channels == 1:
-            # no GN at 24k; corr adds edge fixes as fusable elementwise pads
-            variants = [("stock ", stock), ("nofix ", nofix), ("corr  ", corr)]
+            variants.append(("corr  ", corr))  # pad-add fixup (no GN at 24k)
         for label, sconv in variants:
             enc._sconv = sconv
             fn = jax.jit(
