@@ -260,6 +260,13 @@ def _swin_block(
     whole block, MLP included)."""
     b, l, c = x.shape
     ws = WINDOW_SIZE
+    # Per-stage sweep (scripts/exp_swin_block.py, B=32 bf16, one run):
+    # whole-block for C<=96/192/384/all = 388.7/422.0/430.1/416-420
+    # audio-min/s — stage 4 (C=768, one window, group 1) streams
+    # [768, 3072]+[3072, 768] fc weights per cell over 64 tokens, so the
+    # attention-only kernel + XLA MLP wins there.
+    if mode == "fused_block" and c > 384:
+        mode = "fused"
     if mode == "fused_block":
         return _fused_call(p, x, res, heads, shift, whole_block=True)
     if mode == "fused":

@@ -20,7 +20,6 @@ shapes. Per-file frame counts enter as *masks*, never as dynamic shapes.
 from __future__ import annotations
 
 import functools
-import os
 from typing import Optional
 
 import jax
@@ -31,18 +30,6 @@ from . import dsp
 from .resample import resample
 from ..config import matmul_precision
 
-
-def _use_pallas_frontend() -> bool:
-    """Route log-mel through the fused Pallas kernel (ops/pallas_logmel.py).
-
-    Off by default; enable with FAD_TPU_PALLAS_FRONTEND=1. On CPU the kernel
-    runs in interpret mode (tests); on TPU it runs compiled.
-
-    Read at TRACE time: shapes already compiled before a toggle keep their
-    original path (jit caches are keyed on shapes, not env) — set the flag
-    before the first call of the process.
-    """
-    return os.environ.get("FAD_TPU_PALLAS_FRONTEND", "0").lower() in ("1", "true", "on")
 
 # ---------------------------------------------------------------------------
 # VGGish frontend constants (reference: models/vggish.py:17-33)
@@ -165,14 +152,10 @@ def vggish_logmel_batch(wave: jnp.ndarray, num_frames: int) -> jnp.ndarray:
             VGGISH_MEL_MIN_HZ, VGGISH_MEL_MAX_HZ,
         )
     )
-    if _use_pallas_frontend():
-        from .pallas_logmel import fused_logmel
-
-        return fused_logmel(
-            wave, mel_mat, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP,
-            power=False, log_offset=VGGISH_LOG_OFFSET,
-            interpret=jax.default_backend() == "cpu",
-        )
+    # A fused Pallas log-mel kernel was built and measured SLOWER than this
+    # XLA strided path (v5e round 2: vggish 357.9 vs 386.3 audio-min/s) —
+    # the frontend is a small step fraction and XLA already fuses
+    # window->DFT->mel->log; see scripts/pallas_logmel_rejected.py.
     mag = dsp.stft_magnitude_strided(wave, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP)
     mel = jnp.matmul(mag, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
     return jnp.log(mel + VGGISH_LOG_OFFSET)
@@ -225,17 +208,9 @@ def pann_logmel_batch(
     mel_mat = jnp.asarray(
         dsp.slaney_mel_matrix(target_sample_rate, n_fft, cfg["mel_bins"], cfg["fmin"], cfg["fmax"])
     )
-    if _use_pallas_frontend():
-        from .pallas_logmel import fused_logmel
-
-        log_mel = fused_logmel(
-            padded_wave, mel_mat, num_frames, n_fft, n_fft, hop,
-            power=True, amin=1e-10, interpret=jax.default_backend() == "cpu",
-        )
-    else:
-        power = dsp.stft_power_strided(padded_wave, num_frames, n_fft, n_fft, hop)
-        mel = jnp.matmul(power, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
-        log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
+    power = dsp.stft_power_strided(padded_wave, num_frames, n_fft, n_fft, hop)
+    mel = jnp.matmul(power, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
+    log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     if n_valid_frames is not None:
         frame_ids = jnp.arange(num_frames)[None, :, None]
         log_mel = jnp.where(frame_ids < n_valid_frames[:, None, None], log_mel, 0.0)

@@ -95,6 +95,27 @@ def main():
     for g in (1, 2, 4, 8, 16):
         bench(f"fused_block group={g}", "fused_block", group_override=g)
 
+    # --- mixed per-stage mode: whole-block only for C <= threshold ---
+    # (the wide late stages stream [C, 4C]+[4C, C] fc weights per grid cell
+    # over few tokens; attention-only + XLA MLP may win there). Patch
+    # _swin_block's mode, NOT _fused_call's whole_block flag — the latter
+    # would silently drop the MLP half for demoted stages.
+    orig_block = M._swin_block
+
+    def make_mixed(cmax):
+        def mixed(p, x, res, heads, shift, mode):
+            if mode == "fused_block" and x.shape[-1] > cmax:
+                mode = "fused"
+            return orig_block(p, x, res, heads, shift, mode)
+        return mixed
+
+    for cmax in (96, 192, 384):
+        M._swin_block = make_mixed(cmax)
+        try:
+            bench(f"fused_block only C<={cmax}", "fused_block")
+        finally:
+            M._swin_block = orig_block
+
 
 if __name__ == "__main__":
     main()

@@ -1,15 +1,25 @@
-"""Fused log-mel frontend as a Pallas TPU kernel.
+"""REJECTED EXPERIMENT (kept out of the package): fused log-mel frontend
+as a Pallas TPU kernel.
 
 One kernel instance produces a [T_TILE, 64] log-mel tile directly from the
 raw waveform: manual-DMA of the overlapping hop-row window into VMEM, the
 gather-free chunked-DFT matmul sum (see dsp.chunked_dft_matrices), power or
 magnitude, the mel matmul, and the log — with no HBM round-trips for frames,
-spectra, or mel. This is the hot op of the embedding pipeline (reference
-computes it per file on host NumPy/librosa, models/vggish.py:125-227 and
-models/pann.py:107-136).
+spectra, or mel.
 
-The XLA strided formulation (dsp.stft_*_strided) is the portable fallback and
-the numerical reference for the kernel's tests (interpret mode on CPU).
+Measured on v5e (round 2, full jitted step): the XLA strided path
+(dsp.stft_*_strided) WINS — vggish 386.3 vs 357.9 audio-min/s, pann-16k
+141.4 vs 127.7 — because the frontend is a small fraction of step time,
+XLA already fuses window->DFT->mel->log without HBM round-trips at these
+sizes, and the kernel's per-tile serial DMA wait adds latency the XLA
+schedule overlaps. The kernel therefore shipped as dead weight behind an
+env flag through round 2 and was removed from the package in round 3; it
+lives here as the measured-rejection record and as the starting point for
+a frontend+conv1 fusion if the frontend ever dominates a profile.
+
+`python scripts/pallas_logmel_rejected.py --check` re-verifies interpret-
+mode numerics vs the shipped XLA path on CPU; `scripts/bench_pallas.py`
+re-runs the timing comparison on TPU.
 """
 
 from __future__ import annotations
@@ -22,7 +32,12 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from . import dsp
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from frechet_audio_distance_exported_tpu.ops import dsp
 
 T_TILE = 256  # frames per kernel instance
 
@@ -59,7 +74,7 @@ def _fused_kernel(
     copy.start()
     copy.wait()
 
-    from ..config import matmul_precision
+    from frechet_audio_distance_exported_tpu.config import matmul_precision
 
     prec = matmul_precision()
     if prec == jax.lax.Precision.HIGH:
@@ -155,3 +170,40 @@ def fused_logmel(
         interpret=interpret,
     )(x, jnp.asarray(cos_c), jnp.asarray(sin_c), jnp.asarray(mel_matrix, jnp.float32))
     return out[:, :num_frames]
+
+
+def _check():
+    """Interpret-mode parity vs the shipped XLA strided path (CPU)."""
+    rng = np.random.default_rng(0)
+    wave = (rng.standard_normal((2, 60000)) * 0.3).astype(np.float32)
+    num_frames = 1 + (60000 - 400) // 160
+    mel = dsp.htk_mel_matrix(64, 257, 16000, 125.0, 7500.0)
+    got = np.asarray(
+        fused_logmel(jnp.asarray(wave), jnp.asarray(mel), num_frames, 400, 512,
+                     160, power=False, interpret=True)
+    )
+    mag = np.asarray(dsp.stft_magnitude_strided(jnp.asarray(wave), num_frames, 400, 512, 160))
+    ref = np.log(mag @ mel + 0.01)
+    np.testing.assert_allclose(got, ref, atol=1e-5)
+
+    wave = (rng.standard_normal((1, 48512)) * 0.3).astype(np.float32)
+    nf = 1 + 48000 // 160
+    mel = dsp.slaney_mel_matrix(16000, 512, 64, 50, 8000)
+    got = np.asarray(
+        fused_logmel(jnp.asarray(wave), jnp.asarray(mel), nf, 512, 512, 160,
+                     power=True, interpret=True)
+    )
+    power = np.asarray(dsp.stft_power_strided(jnp.asarray(wave), nf, 512, 512, 160))
+    ref = 10 * np.log10(np.maximum(power @ mel, 1e-10))
+    np.testing.assert_allclose(got, ref, atol=1e-4)
+    print("pallas_logmel_rejected --check: interpret-mode parity OK")
+
+
+if __name__ == "__main__":
+    import jax as _jax
+
+    if "--check" in sys.argv:
+        _jax.config.update("jax_platforms", "cpu")
+        _check()
+    else:
+        print(__doc__)

@@ -194,3 +194,20 @@ def test_vggish_frontend_matches_committed_golden(sine_audio):
     ours = frontends.waveform_to_examples(audio, 16000, return_tensor=False)
     assert ours.shape == golden.shape
     np.testing.assert_allclose(ours, golden, rtol=1e-3, atol=3e-3)
+
+
+def test_strided_stft_matches_gather_framing():
+    """The gather-free STFT equals the direct framed formulation.
+
+    (Moved from the removed test_pallas_logmel.py — this checks shipped dsp
+    code, not the rejected kernel.)"""
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.ops import dsp
+
+    wave = (np.random.default_rng(2).standard_normal((3, 20000)) * 0.5).astype(np.float32)
+    num_frames = 1 + (20000 - 400) // 160
+    frames = dsp.frame_signal(jnp.asarray(wave), num_frames, 400, 160)
+    ref = np.asarray(dsp.stft_power(frames, 400, 512))
+    got = np.asarray(dsp.stft_power_strided(jnp.asarray(wave), num_frames, 400, 512, 160))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
