@@ -200,6 +200,13 @@ def chunked_dft_matrices(window_length: int, fft_length: int, hop_length: int):
     )
 
 
+@functools.lru_cache(maxsize=16)
+def _chunked_dft_cat(window_length: int, fft_length: int, hop_length: int):
+    """chunked_dft_matrices with cos|sin concatenated: ([m, hop, 2F], F)."""
+    cos_c, sin_c = chunked_dft_matrices(window_length, fft_length, hop_length)
+    return np.concatenate([cos_c, sin_c], axis=2), cos_c.shape[2]
+
+
 def stft_spectrum_strided(
     wave: jnp.ndarray,
     num_frames: int,
@@ -211,24 +218,26 @@ def stft_spectrum_strided(
 
     Requires S >= (num_frames + ceil(W/hop) - 1) * hop (callers bucket-pad
     anyway); excess samples are ignored.
+
+    The cos and sin matrices are concatenated column-wise so each chunk is
+    ONE [T, hop] x [hop, 2F] matmul instead of two [hop, F] ones — halving
+    the [B, T, hop] operand reads (and HIGH-precision bf16x3 LHS passes).
+    Per-column matmul results are unchanged, so this is bitwise identical
+    to the split form (measured, CPU and TPU: scripts/exp_vggish_front.py).
     """
-    cos_c, sin_c = chunked_dft_matrices(window_length, fft_length, hop_length)
-    num_chunks = cos_c.shape[0]
+    cat_c, nbin = _chunked_dft_cat(window_length, fft_length, hop_length)
+    num_chunks = cat_c.shape[0]
     need = (num_frames + num_chunks - 1) * hop_length
     if wave.shape[-1] < need:
         wave = jnp.pad(wave, ((0, 0), (0, need - wave.shape[-1])))
     x = wave[:, :need].reshape(wave.shape[0], num_frames + num_chunks - 1, hop_length)
-    re = None
-    im = None
+    both = None
     for m in range(num_chunks):
         xm = x[:, m : m + num_frames]
-        re_m = jnp.matmul(xm, jnp.asarray(cos_c[m]), preferred_element_type=jnp.float32,
-                          precision=matmul_precision())
-        im_m = jnp.matmul(xm, jnp.asarray(sin_c[m]), preferred_element_type=jnp.float32,
-                          precision=matmul_precision())
-        re = re_m if re is None else re + re_m
-        im = im_m if im is None else im + im_m
-    return re, im
+        t = jnp.matmul(xm, jnp.asarray(cat_c[m]), preferred_element_type=jnp.float32,
+                       precision=matmul_precision())
+        both = t if both is None else both + t
+    return both[..., :nbin], both[..., nbin:]
 
 
 def stft_power_strided(wave, num_frames, window_length, fft_length, hop_length):
