@@ -213,17 +213,29 @@ def stft_spectrum_strided(
     window_length: int,
     fft_length: int,
     hop_length: int,
+    single_matmul: bool = False,
 ):
     """[B, S] -> (re, im) each [B, num_frames, F] without materializing frames.
 
     Requires S >= (num_frames + ceil(W/hop) - 1) * hop (callers bucket-pad
     anyway); excess samples are ignored.
 
-    The cos and sin matrices are concatenated column-wise so each chunk is
-    ONE [T, hop] x [hop, 2F] matmul instead of two [hop, F] ones — halving
-    the [B, T, hop] operand reads (and HIGH-precision bf16x3 LHS passes).
-    Per-column matmul results are unchanged, so this is bitwise identical
-    to the split form (measured, CPU and TPU: scripts/exp_vggish_front.py).
+    Measured layout choices (scripts/exp_vggish_front.py / _front2.py, v5e,
+    B=256 vggish):
+    - cos|sin concatenated column-wise (always on): one [.., hop] x [hop, 2F]
+      product per chunk instead of two — halves the LHS reads; per-column
+      results are bitwise identical to the split form. 42.11 -> 41.56 ms
+      full-step.
+    - ``single_matmul``: the ceil(W/hop) chunks concatenated on the LANE axis
+      into ONE [B, T, m*hop] operand and a single [m*hop, 2F] matmul, instead
+      of summing m separate matmul outputs — XLA cannot fuse across matmuls,
+      so the chunked sum materializes m [B, T, 2F] f32 outputs (~1.5 GB at
+      B=256); the frames concat costs one ~0.5 GB write. Frontend 8.09 ->
+      6.90 ms, full-step 41.5 -> 40.4 ms. The K-accumulation order changes,
+      which is invisible on VGGish's offset-floored log-mel (~7e-6) but moves
+      PANN/CLAP's floorless-dB quiet bins by 0.15-0.3 dB on pure-tone
+      goldens (most of the reference's own 0.5 dB librosa-parity budget), so
+      ONLY the VGGish frontend opts in; PANN/CLAP keep the exact chunk-sum.
     """
     cat_c, nbin = _chunked_dft_cat(window_length, fft_length, hop_length)
     num_chunks = cat_c.shape[0]
@@ -231,22 +243,37 @@ def stft_spectrum_strided(
     if wave.shape[-1] < need:
         wave = jnp.pad(wave, ((0, 0), (0, need - wave.shape[-1])))
     x = wave[:, :need].reshape(wave.shape[0], num_frames + num_chunks - 1, hop_length)
-    both = None
-    for m in range(num_chunks):
-        xm = x[:, m : m + num_frames]
-        t = jnp.matmul(xm, jnp.asarray(cat_c[m]), preferred_element_type=jnp.float32,
-                       precision=matmul_precision())
-        both = t if both is None else both + t
+    if single_matmul:
+        frames = jnp.concatenate(
+            [x[:, m : m + num_frames] for m in range(num_chunks)], axis=-1
+        )  # [B, T, m*hop]: sample order matches cat_c's chunk-major rows
+        both = jnp.matmul(
+            frames,
+            jnp.asarray(cat_c.reshape(num_chunks * hop_length, 2 * nbin)),
+            preferred_element_type=jnp.float32,
+            precision=matmul_precision(),
+        )
+    else:
+        both = None
+        for m in range(num_chunks):
+            xm = x[:, m : m + num_frames]
+            t = jnp.matmul(xm, jnp.asarray(cat_c[m]), preferred_element_type=jnp.float32,
+                           precision=matmul_precision())
+            both = t if both is None else both + t
     return both[..., :nbin], both[..., nbin:]
 
 
-def stft_power_strided(wave, num_frames, window_length, fft_length, hop_length):
-    re, im = stft_spectrum_strided(wave, num_frames, window_length, fft_length, hop_length)
+def stft_power_strided(wave, num_frames, window_length, fft_length, hop_length,
+                       single_matmul: bool = False):
+    re, im = stft_spectrum_strided(wave, num_frames, window_length, fft_length,
+                                   hop_length, single_matmul)
     return re * re + im * im
 
 
-def stft_magnitude_strided(wave, num_frames, window_length, fft_length, hop_length):
-    return jnp.sqrt(stft_power_strided(wave, num_frames, window_length, fft_length, hop_length))
+def stft_magnitude_strided(wave, num_frames, window_length, fft_length, hop_length,
+                           single_matmul: bool = False):
+    return jnp.sqrt(stft_power_strided(wave, num_frames, window_length, fft_length,
+                                       hop_length, single_matmul))
 
 
 def stft_power(frames: jnp.ndarray, window_length: int, fft_length: int) -> jnp.ndarray:
