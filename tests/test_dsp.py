@@ -211,3 +211,22 @@ def test_strided_stft_matches_gather_framing():
     ref = np.asarray(dsp.stft_power(frames, 400, 512))
     got = np.asarray(dsp.stft_power_strided(jnp.asarray(wave), num_frames, 400, 512, 160))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_strided_stft_single_matmul_matches_chunk_sum():
+    """single_matmul=True (VGGish's lane-concat framing) equals the chunk-sum
+    form up to f32 K-accumulation order — a wiring bug (wrong chunk order /
+    wrong zero-pad rows) would be O(1) wrong, not O(1e-5)."""
+    import jax.numpy as jnp
+
+    from frechet_audio_distance_exported_tpu.ops import dsp
+
+    wave = (np.random.default_rng(3).standard_normal((2, 20000)) * 0.5).astype(np.float32)
+    for win, fft, hop in [(400, 512, 160), (512, 512, 160), (1024, 1024, 480)]:
+        num_frames = 1 + (20000 - win) // hop
+        a = np.asarray(dsp.stft_power_strided(jnp.asarray(wave), num_frames, win, fft, hop))
+        b = np.asarray(
+            dsp.stft_power_strided(jnp.asarray(wave), num_frames, win, fft, hop,
+                                   single_matmul=True)
+        )
+        np.testing.assert_allclose(b, a, rtol=1e-4, atol=1e-4)
