@@ -148,7 +148,7 @@ def bench_pann32k(files_per_step=128):
     return _bench_pann(32000, files_per_step)
 
 
-def bench_clap(files_per_step=32):
+def bench_clap(files_per_step=64):
     import jax
     import jax.numpy as jnp
 

@@ -225,9 +225,9 @@ class EmbeddingPipeline:
             # (9.75 ms/file vs 15.1 at B=32 with the fused-scan LSTM —
             # the recurrent matmul's HBM traffic grows with B while the
             # sequential chain length stays T). PANN keeps scaling past 32
-            # on TPU (round 2d, bf16: 353 -> 508.5 audio-min/s at B=128;
-            # CLAP does not: 207 -> 189 at B=64) — CPU stays at 32 where
-            # the f32 activation footprint matters more than utilization.
+            # on TPU (round 2d, bf16: 353 -> 508.5 audio-min/s at B=128) —
+            # CPU stays at 32 where the f32 activation footprint matters
+            # more than utilization.
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if self.cfg.family == "encodec":
                 # Mixed precision moved the 24k optimum to B=32 (79.7 ->
@@ -235,6 +235,13 @@ class EmbeddingPipeline:
                 file_batch = 32 if (on_tpu and self.cfg.sample_rate == 24000) else 16
             elif self.cfg.family == "pann" and on_tpu:
                 file_batch = 128
+            elif self.cfg.family == "clap" and on_tpu:
+                # With the XLA attention assembly B=32 was the knee (207 ->
+                # 189 at B=64, round 2); the whole-block Pallas kernel
+                # streams fc weights per grid cell, so larger batches now
+                # amortize: 459.9 / 487.5 / 490.9 audio-min/s at B=32/64/128
+                # (scripts/exp_clap_batch.py) — 64 is the knee.
+                file_batch = 64
             else:
                 file_batch = 32
         self.file_batch = file_batch
