@@ -148,7 +148,7 @@ def bench_pann32k(files_per_step=128):
     return _bench_pann(32000, files_per_step)
 
 
-def bench_clap(files_per_step=64):
+def bench_clap(files_per_step=32):
     import jax
     import jax.numpy as jnp
 
@@ -341,9 +341,14 @@ def main():
     _arm_watchdog(600)
     import signal
 
-    value = bench_vggish()
-    DRIVER_RECORD["value"] = round(value, 3)
-    DRIVER_RECORD["families"]["vggish"] = round(value, 3)
+    value = 0.0
+    try:
+        value = bench_vggish()
+        DRIVER_RECORD["value"] = round(value, 3)
+        DRIVER_RECORD["families"]["vggish"] = round(value, 3)
+    except Exception as e:
+        DRIVER_RECORD["families"]["vggish"] = 0.0
+        print(f"[bench] vggish failed: {e}", file=sys.stderr, flush=True)
     for name, fn in FAMILY_BENCHES.items():
         if name == "vggish":
             continue
@@ -355,8 +360,11 @@ def main():
             print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
 
     signal.alarm(0)
-    baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
-    DRIVER_RECORD["vs_baseline"] = round(value / baseline, 2)
+    try:
+        baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
+        DRIVER_RECORD["vs_baseline"] = round(value / baseline, 2)
+    except Exception as e:
+        print(f"[bench] torch-cpu baseline failed: {e}", file=sys.stderr, flush=True)
     _emit_driver_record()
 
 

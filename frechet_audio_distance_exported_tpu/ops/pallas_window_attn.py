@@ -32,12 +32,14 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 
-def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
-            g1_ref, b1_ref, out_ref, *, heads: int, group: int):
-    """One grid cell: `group` windows, all heads, fully fused in VMEM."""
-    g_win, n, c = x_ref.shape
+def _attention_half(x, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
+                    mask_ref, g1_ref, b1_ref, *, heads: int, group: int,
+                    g_win: int, n: int, c: int):
+    """x [g_win*n, c] -> f32 attention residual x + proj(attn(LN1(x))).
+
+    Shared by the attention-only and whole-block kernels so a fix to the
+    attention math applies to both (they are interchangeable via attn=)."""
     hd = c // heads
-    x = x_ref[:].reshape(g_win * n, c)
 
     # LayerNorm (f32 moments, bf16 re-entry — matches models.common.layer_norm).
     xf = x.astype(jnp.float32)
@@ -78,7 +80,19 @@ def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
 
     y = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
     y = y + bproj_ref[:].astype(jnp.float32)
-    out_ref[:] = (x.astype(jnp.float32) + y).astype(x.dtype).reshape(g_win, n, c)
+    return x.astype(jnp.float32) + y
+
+
+def _kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
+            g1_ref, b1_ref, out_ref, *, heads: int, group: int):
+    """One grid cell: `group` windows, all heads, fully fused in VMEM."""
+    g_win, n, c = x_ref.shape
+    x = x_ref[:].reshape(g_win * n, c)
+    x2f = _attention_half(
+        x, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
+        g1_ref, b1_ref, heads=heads, group=group, g_win=g_win, n=n, c=c,
+    )
+    out_ref[:] = x2f.astype(x.dtype).reshape(g_win, n, c)
 
 
 def _erf_f32(x: jnp.ndarray) -> jnp.ndarray:
@@ -100,52 +114,17 @@ def _erf_f32(x: jnp.ndarray) -> jnp.ndarray:
 def _block_kernel(x_ref, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref,
                   mask_ref, g1_ref, b1_ref, g2_ref, b2_ref, wfc1_ref, bfc1_ref,
                   wfc2_ref, bfc2_ref, out_ref, *, heads: int, group: int):
-    """One grid cell of the WHOLE Swin block: attention half (identical math
-    to _kernel) then LN2 -> fc1 -> exact GELU -> fc2 -> residual, still in
-    VMEM. The MLP is per-token, so it commutes with the window partition /
-    roll permutations — running it in window space is exact."""
+    """One grid cell of the WHOLE Swin block: attention half (shared
+    _attention_half, identical math to _kernel) then LN2 -> fc1 -> exact
+    GELU -> fc2 -> residual, still in VMEM. The MLP is per-token, so it
+    commutes with the window partition / roll permutations — running it in
+    window space is exact."""
     g_win, n, c = x_ref.shape
-    hd = c // heads
     x = x_ref[:].reshape(g_win * n, c)
-
-    xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
-    h = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
-    h = h * g1_ref[:].astype(jnp.float32) + b1_ref[:].astype(jnp.float32)
-    h = h.astype(x.dtype)
-
-    qkv = jnp.dot(h, wqkv_ref[:], preferred_element_type=jnp.float32)
-    qkv = (qkv + bqkv_ref[:].astype(jnp.float32)).astype(x.dtype)
-    qkv = qkv.reshape(g_win, n, 3 * c)
-
-    scale = jnp.float32(hd) ** -0.5
-    out_heads = []
-    for g in range(group):
-        q_g = qkv[g, :, :c]
-        k_g = qkv[g, :, c:2 * c]
-        v_g = qkv[g, :, 2 * c:]
-        per_head = []
-        for hh in range(heads):
-            sl = slice(hh * hd, (hh + 1) * hd)
-            logits = jax.lax.dot_general(
-                q_g[:, sl], k_g[:, sl], (((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ) * scale
-            logits = logits + bias_ref[hh] + mask_ref[g if mask_ref.shape[0] > 1 else 0]
-            p = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
-            per_head.append(
-                jax.lax.dot_general(
-                    p, v_g[:, sl], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ).astype(x.dtype)
-            )
-        out_heads.append(jnp.concatenate(per_head, axis=-1))
-    attn = jnp.stack(out_heads, axis=0).reshape(g_win * n, c)
-
-    y = jnp.dot(attn, wproj_ref[:], preferred_element_type=jnp.float32)
-    y = y + bproj_ref[:].astype(jnp.float32)
-    x2f = x.astype(jnp.float32) + y          # attention residual, f32
+    x2f = _attention_half(
+        x, wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, bias_ref, mask_ref,
+        g1_ref, b1_ref, heads=heads, group=group, g_win=g_win, n=n, c=c,
+    )  # attention residual, f32
     x2 = x2f.astype(x.dtype)
 
     # MLP half. LN2 moments in f32 over the bf16-rounded residual — matches

@@ -236,12 +236,14 @@ class EmbeddingPipeline:
             elif self.cfg.family == "pann" and on_tpu:
                 file_batch = 128
             elif self.cfg.family == "clap" and on_tpu:
-                # With the XLA attention assembly B=32 was the knee (207 ->
-                # 189 at B=64, round 2); the whole-block Pallas kernel
-                # streams fc weights per grid cell, so larger batches now
-                # amortize: 459.9 / 487.5 / 490.9 audio-min/s at B=32/64/128
-                # (scripts/exp_clap_batch.py) — 64 is the knee.
-                file_batch = 64
+                # B=32 stays the knee even with the whole-block kernel: the
+                # forward-only sweep favors 64 (459.9/487.5/490.9 at B=32/64/
+                # 128, scripts/exp_clap_batch.py), but the SHIPPED fused step
+                # includes the 48 kHz mel frontend + stats, and there B=64
+                # measures 388 vs 405 audio-min/s at B=32 (bench_clap,
+                # interleaved twice) — the frontend's [B, 1001, 513] f32
+                # spectrum intermediates scale worse than the Swin forward.
+                file_batch = 32
             else:
                 file_batch = 32
         self.file_batch = file_batch
@@ -750,11 +752,11 @@ class EmbeddingPipeline:
             chunk_idx = idxs[c0 : c0 + self.file_batch]
             b = self._bucket_batch(len(chunk_idx))
             wave = _pack_wave([prepped[i][0] for i in chunk_idx], b, max_samples)
+            frames = np.zeros((b,), np.int32)
+            for row, i in enumerate(chunk_idx):
+                frames[row] = prepped[i][1]
+                per_file[i] = prepped[i][1]
             if isinstance(sink, StatsSink):
-                frames = np.zeros((b,), np.int32)
-                for row, i in enumerate(chunk_idx):
-                    frames[row] = prepped[i][1]
-                    per_file[i] = prepped[i][1]
                 sink.state = _fused_encodec_stats_step(
                     self.params, self._to_device(wave), jnp.asarray(frames),
                     sink.state, self._forward,
@@ -763,10 +765,6 @@ class EmbeddingPipeline:
                 emb_dev = self._forward(self.params, self._to_device(wave))  # [B, T, 128]
                 if sink is not None:
                     t = emb_dev.shape[1]
-                    frames = np.zeros((b,), np.int32)
-                    for row, i in enumerate(chunk_idx):
-                        frames[row] = prepped[i][1]
-                        per_file[i] = prepped[i][1]
                     mask = (np.arange(t)[None, :] < frames[:, None]).astype(np.float32)
                     sink(emb_dev, mask)
                 else:

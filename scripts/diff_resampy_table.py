@@ -46,12 +46,7 @@ def main():
     worst = 0.0
     for name, params in rs.FILTERS.items():
         ours, num_table = rs.sinc_window(**params)
-        theirs, prec, _rolloff = (
-            resampy.filters.get_filter(name)
-            if len(_get_filter_tuple(resampy, name)) == 3
-            else _get_filter_tuple(resampy, name)
-        )
-        theirs = np.asarray(theirs, dtype=np.float64)
+        theirs = np.asarray(_get_filter_tuple(resampy, name)[0], dtype=np.float64)
         if ours.shape != theirs.shape:
             results["filters"][name] = {
                 "status": "FAIL",
@@ -100,9 +95,9 @@ def main():
 
 def _get_filter_tuple(resampy_mod, name):
     """resampy's get_filter returned (half_window, precision) before 0.3 and
-    (half_window, precision, rolloff) from 0.3 on; normalize."""
-    out = resampy_mod.filters.get_filter(name)
-    return tuple(out)
+    (half_window, precision, rolloff) from 0.3 on; the half_window table is
+    always element 0, so callers index [0] and never unpack."""
+    return tuple(resampy_mod.filters.get_filter(name))
 
 
 if __name__ == "__main__":

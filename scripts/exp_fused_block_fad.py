@@ -44,29 +44,33 @@ def main():
     bg = rng.standard_normal((args.n, 1001, 64)).astype(np.float32) * 10.0 - 30.0
     ev = rng.standard_normal((args.n, 1001, 64)).astype(np.float32) * 12.0 - 25.0
 
-    def embed(params, mels, attn):
+    def embed(params, mels, attn, in_dtype):
+        # The shipped pipeline casts the log-mel itself to the model dtype
+        # before clap_forward (pipeline.bf16_forward, cast_input=True), so the
+        # bf16 variants must include the input-quantization error too.
         outs = []
         for i in range(0, len(mels), 32):
-            x = jnp.asarray(mels[i:i + 32])
+            x = jnp.asarray(mels[i:i + 32]).astype(in_dtype)
             outs.append(np.asarray(
-                M.clap_forward(params, x, attn=attn), np.float64))
+                M.clap_forward(params, x, attn=attn).astype(jnp.float32),
+                np.float64))
         return np.concatenate(outs)
 
-    def fad(params, attn):
-        e_bg = embed(params, bg, attn)
-        e_ev = embed(params, ev, attn)
+    def fad(params, attn, in_dtype):
+        e_bg = embed(params, bg, attn, in_dtype)
+        e_ev = embed(params, ev, attn, in_dtype)
         mu1, s1 = e_bg.mean(0), np.cov(e_bg, rowvar=False)
         mu2, s2 = e_ev.mean(0), np.cov(e_ev, rowvar=False)
         return stats.frechet_distance_np(mu1, s1, mu2, s2)
 
-    ref = fad(params32, "xla")
+    ref = fad(params32, "xla", jnp.float32)
     print(f"f32 + xla          : {ref:.8f}", flush=True)
     for label, p, attn in (
         ("bf16 + xla        ", params16, "xla"),
         ("bf16 + fused      ", params16, "fused"),
         ("bf16 + fused_block", params16, "fused_block"),
     ):
-        v = fad(p, attn)
+        v = fad(p, attn, jnp.bfloat16)
         print(f"{label}: {v:.8f}  |delta|={abs(v - ref):.3e}", flush=True)
 
 
