@@ -126,7 +126,7 @@ def _bench_pann(sr, files_per_step=128):  # B=128: shipped TPU default (pipeline
 
     @jax.jit
     def step(acc, params, wave, n_valid):
-        mel = fe.pann_logmel_batch(wave, sr, grid, n_valid)
+        mel = fe.pann_logmel_batch(wave, sr, grid, n_valid, impl="auto")
         emb = pann_forward(params, mel.astype(cdt))
         return _accumulate(acc, emb.astype(jnp.float32))
 
@@ -163,7 +163,9 @@ def bench_clap(files_per_step=32):
 
     @jax.jit
     def step(acc, params, wave, n_valid):
-        mel = fe.pann_logmel_batch(wave, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES, n_valid)
+        mel = fe.pann_logmel_batch(
+            wave, fe.CLAP_SAMPLE_RATE, fe.CLAP_TIME_FRAMES, n_valid, impl="auto"
+        )
         emb = clap_forward(params, mel.astype(cdt))
         return _accumulate(acc, emb.astype(jnp.float32))
 

@@ -135,14 +135,17 @@ def _fused_vggish_step(params, wave, num_patches: int, forward):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward")
+    jax.jit,
+    static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward", "frontend"),
 )
 def _fused_mel_cnn_step(
-    params, wave, n_valid, target_sr: int, num_frames: int, i16_full_scale: float, forward
+    params, wave, n_valid, target_sr: int, num_frames: int, i16_full_scale: float,
+    forward, frontend: str = "xla",
 ):
     """Reflect-padded [B, L] waveform -> [B, d]: log-mel + CNN, one program."""
     mel = fe.pann_logmel_batch(
-        wave, target_sr, num_frames, n_valid, i16_full_scale=i16_full_scale
+        wave, target_sr, num_frames, n_valid, i16_full_scale=i16_full_scale,
+        impl=frontend,
     )
     return forward(params, mel)
 
@@ -173,15 +176,18 @@ def _fused_vggish_stats_step(params, wave, p_counts, state, num_patches: int, fo
 
 
 @functools.partial(
-    jax.jit, static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward")
+    jax.jit,
+    static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward", "frontend"),
 )
 def _fused_mel_cnn_stats_step(
     params, wave, n_valid, n_live, state,
     target_sr: int, num_frames: int, i16_full_scale: float, forward,
+    frontend: str = "xla",
 ):
     """Mel-CNN chunk + stats update; rows >= n_live are batch padding."""
     emb = _fused_mel_cnn_step(
-        params, wave, n_valid, target_sr, num_frames, i16_full_scale, forward
+        params, wave, n_valid, target_sr, num_frames, i16_full_scale, forward,
+        frontend,
     )
     mask = (jnp.arange(emb.shape[0]) < n_live).astype(jnp.float32)
     return _fold_stats(state, emb, mask)
@@ -349,6 +355,14 @@ class EmbeddingPipeline:
             self.file_batch = max(self.file_batch, n)
             self.patch_chunk = max(self.patch_chunk, n)
             self._min_batch = n
+
+    def _frontend_impl(self) -> str:
+        """Static frontend choice for the fused mel-CNN steps: the Pallas
+        fused log-mel on TPU ('auto', ops/frontends._resolve_frontend), but
+        the XLA chunk-sum under a data mesh — plain-jit sharding cannot
+        partition a pallas_call, and unlike the CLAP forward the frontend is
+        not wrapped in shard_map (its output feeds a sharded XLA program)."""
+        return "xla" if self.mesh is not None else "auto"
 
     def _bucket_batch(self, n: int, cap: Optional[int] = None) -> int:
         # Round up to a multiple of the mesh size: power-of-two buckets alone
@@ -614,6 +628,7 @@ class EmbeddingPipeline:
                         self.params, self._to_device(wave), n_valid,
                         jnp.asarray(len(chunk_idx), jnp.int32), sink.state,
                         target_sr, num_frames, i16_full_scale, self._forward,
+                        self._frontend_impl(),
                     )
                     for i in chunk_idx:
                         per_file[i] = 1
@@ -621,6 +636,7 @@ class EmbeddingPipeline:
                     emb_dev = _fused_mel_cnn_step(
                         self.params, self._to_device(wave), n_valid,
                         target_sr, num_frames, i16_full_scale, self._forward,
+                        self._frontend_impl(),
                     )
                     if sink is not None:
                         # Full batch + mask for the padded rows: no eager slice.
