@@ -97,7 +97,7 @@ def bench_vggish(files_per_step=256):
 
     @jax.jit
     def step(acc, params, wave):
-        patches = fe.vggish_patches_batch(wave, num_patches)
+        patches = fe.vggish_patches_batch(wave, num_patches, impl="auto")
         emb = vggish_forward(params, patches.reshape(-1, 96, 64).astype(cdt))
         return _accumulate(acc, emb.astype(jnp.float32))
 

@@ -121,15 +121,15 @@ def cast_model_params(family: str, params, dtype):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_patches", "forward"))
-def _fused_vggish_step(params, wave, num_patches: int, forward):
+@functools.partial(jax.jit, static_argnames=("num_patches", "forward", "frontend"))
+def _fused_vggish_step(params, wave, num_patches: int, forward, frontend: str = "xla"):
     """[B, S] waveform -> [B, P, 128]: log-mel patches + CNN in one program.
 
     Computes ALL P = patches(bucket) rows per file; the host keeps each
     file's first P_i rows after the (tiny) fetch. The wasted tail compute is
     bounded by the ~6% bucket padding and is far cheaper than the extra
     dispatches of an on-device gather-select."""
-    patches = fe.vggish_patches_batch(wave, num_patches)
+    patches = fe.vggish_patches_batch(wave, num_patches, impl=frontend)
     emb = forward(params, patches.reshape(-1, 96, 64))
     return emb.reshape(wave.shape[0], num_patches, -1)
 
@@ -167,10 +167,14 @@ def _fold_stats(state, emb, mask):
     return stats_ops.update_stats(state, emb, mask)
 
 
-@functools.partial(jax.jit, static_argnames=("num_patches", "forward"))
-def _fused_vggish_stats_step(params, wave, p_counts, state, num_patches: int, forward):
+@functools.partial(
+    jax.jit, static_argnames=("num_patches", "forward", "frontend")
+)
+def _fused_vggish_stats_step(
+    params, wave, p_counts, state, num_patches: int, forward, frontend: str = "xla"
+):
     """[B, S] waveform + per-file patch counts -> updated StreamingStats."""
-    emb = _fused_vggish_step(params, wave, num_patches, forward)
+    emb = _fused_vggish_step(params, wave, num_patches, forward, frontend)
     mask = (jnp.arange(num_patches)[None, :] < p_counts[:, None]).astype(jnp.float32)
     return _fold_stats(state, emb, mask)
 
@@ -541,13 +545,14 @@ class EmbeddingPipeline:
                     p_arr[: len(p_counts)] = p_counts
                     sink.state = _fused_vggish_stats_step(
                         self.params, self._to_device(wave), jnp.asarray(p_arr),
-                        sink.state, p_max, self._forward,
+                        sink.state, p_max, self._forward, self._frontend_impl(),
                     )
                     for (i, _, _), count in zip(chunk, p_counts):
                         counts[i] = counts.get(i, 0) + count
                 else:
                     emb_dev = _fused_vggish_step(
-                        self.params, self._to_device(wave), p_max, self._forward
+                        self.params, self._to_device(wave), p_max, self._forward,
+                        self._frontend_impl(),
                     )  # [b, p_max, 128]
                     if sink is not None:
                         mask = np.zeros((b, p_max), np.float32)

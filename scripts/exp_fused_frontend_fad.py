@@ -105,6 +105,46 @@ def main():
         v = fad_from(clap_embed(params16, fr, at, jnp.bfloat16), bg_p, ev_p)
         print(f"{label}: {v:.8f}  |delta|={abs(v - ref):.3e}", flush=True)
 
+    # ---- VGGish (16 kHz) --------------------------------------------------
+    from frechet_audio_distance_exported_tpu.models import vggish as MV
+    from frechet_audio_distance_exported_tpu.ops.pallas_frontend import (
+        fused_vggish_logmel,
+    )
+
+    sr = 16000
+    num_patches = 10
+    vf = num_patches * fe.VGGISH_PATCH_FRAMES
+    length = vf * fe.VGGISH_HOP + fe.VGGISH_FFT
+    bg = synth_dir(rng, args.n, length, sr, np.array([300.0, 800, 1900]), 0.05)
+    ev = synth_dir(rng, args.n, length, sr, np.array([500.0, 1100, 2600]), 0.12)
+    params32 = MV.init_vggish_params(jax.random.PRNGKey(2))
+    params16 = cast_model_params("vggish", params32, jnp.bfloat16)
+
+    def vggish_embed(params, frontend, dtype):
+        def run(waves):
+            outs = []
+            for i in range(0, len(waves), 32):
+                w = jnp.asarray(waves[i : i + 32])
+                if frontend == "pallas":
+                    mel = fused_vggish_logmel(w, vf)
+                else:
+                    mel = fe.vggish_logmel_batch(w, vf)
+                patches = mel.reshape(-1, 96, 64)
+                e = MV.vggish_forward(params, patches.astype(dtype))
+                outs.append(np.asarray(e.astype(jnp.float32), np.float64))
+            return np.concatenate(outs)
+
+        return run
+
+    ref = fad_from(vggish_embed(params32, "xla", jnp.float32), bg, ev)
+    print(f"vggish f32 + xla-front               : {ref:.8f}", flush=True)
+    for label, fr in (
+        ("vggish bf16 + xla-front              ", "xla"),
+        ("vggish bf16 + pallas-front           ", "pallas"),
+    ):
+        v = fad_from(vggish_embed(params16, fr, jnp.bfloat16), bg, ev)
+        print(f"{label}: {v:.8f}  |delta|={abs(v - ref):.3e}", flush=True)
+
     # ---- PANN (16 kHz) ----------------------------------------------------
     sr = 16000
     cfg = fe.PANN_CONFIGS[sr]
