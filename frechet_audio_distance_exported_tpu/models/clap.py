@@ -122,6 +122,26 @@ def _bicubic_time_matrix(in_t: int, out_t: int) -> np.ndarray:
     return m.astype(np.float32)
 
 
+@functools.lru_cache(maxsize=4)
+def _bicubic_taps(in_t: int, out_t: int):
+    """(idx [out_t, 4] int32, w [out_t, 4] f32): the <=4 nonzero columns of
+    each _bicubic_time_matrix row (edge-clamped taps pre-merged, zero-padded).
+
+    The interpolation then runs as four static gathers + a VPU weighted sum
+    instead of a dense [out_t, in_t] matmul: fp-equivalent (4.5e-8 embedding
+    delta on CPU f32 — pure fp reordering) and measured +2.2% on the B=32
+    CLAP step (exp_clap_interp2.py: 11.46 -> 11.21 ms; the dense form burns
+    250x the FLOPs and blocks fusion with bn0)."""
+    m = _bicubic_time_matrix(in_t, out_t)
+    idx = np.zeros((out_t, 4), np.int32)
+    w = np.zeros((out_t, 4), np.float32)
+    for j in range(out_t):
+        nz = np.nonzero(m[j])[0]
+        idx[j, : len(nz)] = nz
+        w[j, : len(nz)] = m[j, nz]
+    return idx, w
+
+
 @functools.lru_cache(maxsize=8)
 def _relative_position_index(ws: int) -> np.ndarray:
     """[N, N] index into the (2*ws-1)^2 relative position bias table."""
@@ -317,12 +337,14 @@ def clap_forward(params: dict, log_mel: jnp.ndarray, attn: str = "auto") -> jnp.
     """
     fused_attn = _resolve_attn(attn)
     b, t, f = log_mel.shape
-    # Bicubic 1001 -> 1024 time interpolation (one matmul).
-    interp = jnp.asarray(_bicubic_time_matrix(t, TARGET_T))
-    x = jnp.einsum(
-        "ot,btf->bof", interp, log_mel,
-        preferred_element_type=jnp.float32, precision=matmul_precision(),
-    )
+    # Bicubic 1001 -> 1024 time interpolation as four static gathers + a
+    # weighted sum (see _bicubic_taps; fp-equivalent to the dense matmul).
+    idx, w = _bicubic_taps(t, TARGET_T)
+    idx, w = jnp.asarray(idx), jnp.asarray(w)
+    x = None
+    for k in range(4):
+        term = w[:, k][None, :, None] * jnp.take(log_mel, idx[:, k], axis=1)
+        x = term if x is None else x + term
     # bn0 over mel bins.
     x = common.batch_norm(x, params["bn0"])
     # reshape_wav2img: [B, 1024, 64] -> [B, 256, 256, 1].

@@ -175,6 +175,19 @@ def test_bicubic_matrix_matches_torch():
     np.testing.assert_allclose(got, ref, rtol=1e-3, atol=1e-3)
 
 
+def test_bicubic_taps_reconstruct_dense_matrix():
+    """The 4-tap gather decomposition (shipped forward path) scatters back to
+    exactly the dense matrix: same indices, same weights, no tap dropped."""
+    m = jclap._bicubic_time_matrix(1001, 1024)
+    idx, w = jclap._bicubic_taps(1001, 1024)
+    rebuilt = np.zeros_like(m)
+    for k in range(4):
+        np.add.at(rebuilt, (np.arange(1024), idx[:, k]), w[:, k])
+    np.testing.assert_array_equal(rebuilt, m)
+    # Every row keeps its full mass: bicubic align_corners weights sum to 1.
+    np.testing.assert_allclose(w.sum(axis=1), 1.0, atol=1e-5)
+
+
 def test_l2_normalize_clamps_zero_embedding():
     """torch F.normalize semantics: an exactly-zero projection output maps to
     the zero vector, not NaN (0/0). Regression: zero-padded batch rows under
