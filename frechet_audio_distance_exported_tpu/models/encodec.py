@@ -98,7 +98,9 @@ def _lstm_cell(gates: jnp.ndarray, c_prev: jnp.ndarray):
     return jax.nn.sigmoid(o) * jnp.tanh(c), c
 
 
-def _slstm(p: dict, x: jnp.ndarray, unroll: int = 20) -> jnp.ndarray:
+def _slstm(
+    p: dict, x: jnp.ndarray, unroll: int = 20, op_dtype=jnp.float32
+) -> jnp.ndarray:
     """2-layer LSTM with the SEANet residual skip (y = lstm(x) + x).
 
     Throughput shaping (the LSTM dominates Encodec step time):
@@ -111,10 +113,21 @@ def _slstm(p: dict, x: jnp.ndarray, unroll: int = 20) -> jnp.ndarray:
       [B, 2H] x [2H, 4H] matmul;
     - the scan is unrolled so XLA pipelines consecutive iterations.
 
-    The recurrence always runs in float32 regardless of the caller's compute
-    dtype: bf16 error compounds over the ~750 sequential steps and destroys
+    The carried h/c state, gate nonlinearities, and accumulation always run
+    in float32 regardless of the caller's compute dtype: a fully-bf16
+    recurrence compounds error over the ~750 sequential steps and destroys
     the score (measured round 2: FAD 918 vs 3e-4 on identical dirs). In
     mixed-precision mode the conv stages run bf16 and hand off f32 here.
+
+    ``op_dtype`` sets ONLY the in-scan recurrent-matmul operand dtype. The
+    scan is AT the recurrent-matmul floor (~11.6 us/step measured vs a
+    ~12.6 us HIGH-precision MXU floor — a Pallas rewrite was priced and
+    dropped), so the one lever is MXU passes: bf16 operands (1 pass instead
+    of HIGH's 3) measure 1.48x (24k shapes) / 1.82x (48k shapes) on the scan
+    with 9.1e-5 relative output error damped by the saturating gates rather
+    than compounded in the f32 carry; full-model FAD delta 2.2e-10
+    (scripts/exp_lstm_bf16.py). encodec_forward passes the conv-stage dtype,
+    so the exact-f32 default (48k) keeps bit-identical f32 HIGH matmuls.
     """
     x = x.astype(jnp.float32)
     b, t, h = x.shape
@@ -124,10 +137,31 @@ def _slstm(p: dict, x: jnp.ndarray, unroll: int = 20) -> jnp.ndarray:
     w1 = jnp.concatenate([p1["w_ih"], p1["w_hh"]], axis=0)  # [2H, 4H]
     b1 = p1["b_ih"] + p1["b_hh"]
 
+    if op_dtype == jnp.bfloat16:
+        w0hh_c, w1_c = p0["w_hh"].astype(op_dtype), w1.astype(op_dtype)
+
+        def proj0(h0):
+            return jnp.matmul(
+                h0.astype(op_dtype), w0hh_c, preferred_element_type=jnp.float32
+            ) + p0["b_hh"]
+
+        def proj1(y0h1):
+            return jnp.matmul(
+                y0h1.astype(op_dtype), w1_c, preferred_element_type=jnp.float32
+            ) + b1
+
+    else:
+
+        def proj0(h0):
+            return common.linear(h0, p0["w_hh"], p0["b_hh"])
+
+        def proj1(y0h1):
+            return common.linear(y0h1, w1, b1)
+
     def step(carry, gx0):
         h0, c0, h1, c1 = carry
-        y0, c0 = _lstm_cell(gx0 + common.linear(h0, p0["w_hh"], p0["b_hh"]), c0)
-        y1, c1 = _lstm_cell(common.linear(jnp.concatenate([y0, h1], axis=-1), w1, b1), c1)
+        y0, c0 = _lstm_cell(gx0 + proj0(h0), c0)
+        y1, c1 = _lstm_cell(proj1(jnp.concatenate([y0, h1], axis=-1)), c1)
         return (y0, c0, y1, c1), y1
 
     zeros = jnp.zeros((b, h), x.dtype)
@@ -160,7 +194,9 @@ def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.nd
         h = _res_block(stage["res"], h, causal)
         h = jax.nn.elu(h)
         h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)
-    h = _slstm(params["lstm"], h)
+    # Recurrent-matmul operands follow the conv-stage dtype (bf16 in mixed
+    # mode, 1 MXU pass; f32 default keeps exact HIGH matmuls) — see _slstm.
+    h = _slstm(params["lstm"], h, op_dtype=params["conv_in"]["w"].dtype)
     h = jax.nn.elu(h)
     h = _sconv(params["conv_out"], h, kernel=7, stride=1, causal=causal)
     return h  # [B, T, 128]

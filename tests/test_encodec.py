@@ -3,6 +3,7 @@ tests/test_encodec.py behaviors), encoder shapes, and a full torch-parity
 check of the SEANet architecture (identical weights -> identical outputs)."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -84,6 +85,24 @@ class TestEncoder:
         a = np.asarray(encodec_forward(params, x, causal=True))
         b = np.asarray(encodec_forward(params, x, causal=True))
         np.testing.assert_array_equal(a, b)
+
+    def test_lstm_bf16_operands_close_to_f32(self):
+        """Mixed-precision mode runs the in-scan recurrent matmuls with bf16
+        OPERANDS (f32 carry/accumulation, models/encodec.py:_slstm). The
+        operand rounding must stay damped (~1e-4 relative), not compound
+        over the sequential steps like the rejected full-bf16 recurrence."""
+        from frechet_audio_distance_exported_tpu.models.encodec import _slstm
+
+        params = init_encodec_params(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(2), (2, 100, 512), jnp.float32) * 0.5
+        a = np.asarray(_slstm(params["lstm"], x))
+        o = np.asarray(_slstm(params["lstm"], x, op_dtype=jnp.bfloat16))
+        rel = np.max(np.abs(a - o)) / np.max(np.abs(a))
+        assert rel < 1e-3, rel
+        # f32 op_dtype is the default and must be bit-identical to it.
+        np.testing.assert_array_equal(
+            a, np.asarray(_slstm(params["lstm"], x, op_dtype=jnp.float32))
+        )
 
 
 def _torch_seanet(params, causal, channels):
