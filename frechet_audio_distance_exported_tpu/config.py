@@ -99,3 +99,31 @@ def model_dtype():
     import jax
 
     return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32
+
+
+def lstm_op_dtype():
+    """Operand dtype for Encodec's in-scan recurrent matmuls (the carry,
+    gates, and accumulation always stay float32 — models/encodec._slstm).
+
+    FAD_TPU_LSTM_MATMUL=float32|bfloat16 forces it. Unset, the default is
+    bfloat16 on TPU (1 MXU pass instead of HIGH's 3: scan 1.48x/1.82x on the
+    24k/48k shapes, output error 9.1e-5 relative, 48k FAD delta 3.9e-5 —
+    scripts/exp_lstm_bf16.py, exp_lstm48_fad.py) and float32 elsewhere.
+    An explicit FAD_TPU_MODEL_DTYPE=float32 means "exact float32 everywhere"
+    and keeps the LSTM matmuls float32 too."""
+    import jax.numpy as jnp
+
+    name = os.environ.get("FAD_TPU_LSTM_MATMUL", "").strip().lower()
+    if name in ("bfloat16", "bf16"):
+        return jnp.bfloat16
+    if name in ("float32", "f32", "fp32"):
+        return jnp.float32
+    if name:
+        raise ValueError(
+            f"FAD_TPU_LSTM_MATMUL={name!r}: expected 'float32' or 'bfloat16'"
+        )
+    if model_dtype_is_forced() and model_dtype() == jnp.float32:
+        return jnp.float32
+    import jax
+
+    return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32

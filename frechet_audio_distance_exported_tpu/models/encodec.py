@@ -37,6 +37,7 @@ import jax
 import jax.numpy as jnp
 
 from . import common
+from .. import config
 
 EMBEDDING_SIZE = 128
 N_FILTERS = 32
@@ -125,9 +126,11 @@ def _slstm(
     dropped), so the one lever is MXU passes: bf16 operands (1 pass instead
     of HIGH's 3) measure 1.48x (24k shapes) / 1.82x (48k shapes) on the scan
     with 9.1e-5 relative output error damped by the saturating gates rather
-    than compounded in the f32 carry; full-model FAD delta 2.2e-10
-    (scripts/exp_lstm_bf16.py). encodec_forward passes the conv-stage dtype,
-    so the exact-f32 default (48k) keeps bit-identical f32 HIGH matmuls.
+    than compounded in the f32 carry; FAD deltas 2.2e-10 (24k mixed) and
+    3.9e-5 (48k f32 convs) — scripts/exp_lstm_bf16.py, exp_lstm48_fad.py.
+    encodec_forward passes config.lstm_op_dtype() (bf16 on TPU, f32 on CPU
+    and under an explicit FAD_TPU_MODEL_DTYPE=float32 force; read at trace
+    time like the other env gates).
     """
     x = x.astype(jnp.float32)
     b, t, h = x.shape
@@ -194,9 +197,10 @@ def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.nd
         h = _res_block(stage["res"], h, causal)
         h = jax.nn.elu(h)
         h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)
-    # Recurrent-matmul operands follow the conv-stage dtype (bf16 in mixed
-    # mode, 1 MXU pass; f32 default keeps exact HIGH matmuls) — see _slstm.
-    h = _slstm(params["lstm"], h, op_dtype=params["conv_in"]["w"].dtype)
+    # Recurrent-matmul operand dtype: bf16 on TPU (1 MXU pass; carry stays
+    # f32), f32 on CPU / under an explicit exact-f32 force — config knob
+    # FAD_TPU_LSTM_MATMUL; numbers in _slstm's docstring.
+    h = _slstm(params["lstm"], h, op_dtype=config.lstm_op_dtype())
     h = jax.nn.elu(h)
     h = _sconv(params["conv_out"], h, kernel=7, stride=1, causal=causal)
     return h  # [B, T, 128]
