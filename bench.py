@@ -206,7 +206,7 @@ def _bench_encodec(sample_rate, causal, channels, files_per_step):
     return files_per_step * CLIP_SECONDS / 60.0 / dt
 
 
-def bench_encodec24k(files_per_step=32):  # shipped TPU default (pipeline.py)
+def bench_encodec24k(files_per_step=128):  # shipped TPU default (pipeline.py)
     return _bench_encodec(24000, causal=True, channels=1, files_per_step=files_per_step)
 
 

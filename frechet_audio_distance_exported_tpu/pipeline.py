@@ -241,8 +241,12 @@ class EmbeddingPipeline:
             on_tpu = jax.default_backend() in ("tpu", "axon")
             if self.cfg.family == "encodec":
                 # Mixed precision moved the 24k optimum to B=32 (79.7 ->
-                # 91.1 audio-min/s); 48k runs f32 where B=16 still wins.
-                file_batch = 32 if (on_tpu and self.cfg.sample_rate == 24000) else 16
+                # 91.1 audio-min/s); the bf16-operand LSTM moved it to B=128
+                # (99.3 -> 140.7 -> 222.9, plateau at B=256's 222.7 — the
+                # recurrent matmuls were M-row-starved at B=32, and M=128
+                # fills the MXU's rows). 48k B=32 exceeds HBM (18.77 G
+                # needed of 15.75 G); it stays at B=16.
+                file_batch = 128 if (on_tpu and self.cfg.sample_rate == 24000) else 16
             elif self.cfg.family == "pann" and on_tpu:
                 file_batch = 128
             elif self.cfg.family == "clap" and on_tpu:
