@@ -222,7 +222,7 @@ class EmbeddingPipeline:
         model_name: str,
         params,
         file_batch: Optional[int] = None,
-        patch_chunk: int = 1024,
+        patch_chunk: Optional[int] = None,
         verbose: bool = False,
     ):
         self.cfg = registry.get_model_config(model_name)
@@ -257,12 +257,25 @@ class EmbeddingPipeline:
                 # measures 388 vs 405 audio-min/s at B=32 (bench_clap,
                 # interleaved twice) — the frontend's [B, 1001, 513] f32
                 # spectrum intermediates scale worse than the Swin forward.
+                # (Re-swept after the fused Pallas frontend + 4-tap interp
+                # landed: 450.7/429.6/446.7 at B=32/64/128 — 32 still wins.)
                 file_batch = 32
+            elif self.cfg.family == "vggish" and on_tpu:
+                # Match the measured step knee (bench_vggish: 1052 at 256
+                # files x 10 patches; 512 gains only +1.2%). The old generic
+                # 32 capped vggish programs at 320 patches — 8x below the
+                # knee the bench records (invisible through the tunnel,
+                # real on a TPU host).
+                file_batch = 256
             else:
                 file_batch = 32
         self.file_batch = file_batch
         self.mesh = None
         self._min_batch = 1
+        if patch_chunk is None:
+            # The vggish patch budget must admit file_batch full files
+            # (10 s -> 10 patches each); other families ignore it.
+            patch_chunk = 2560 if self.file_batch >= 256 else 1024
         self.patch_chunk = patch_chunk
         self.verbose = verbose
         from .utils.profiling import StageTimer
