@@ -121,33 +121,75 @@ def cast_model_params(family: str, params, dtype):
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("num_patches", "forward", "frontend"))
-def _fused_vggish_step(params, wave, num_patches: int, forward, frontend: str = "xla"):
+# The frontend+model section of each chunk program is built as a per-family
+# "core" closure (pipeline._core, memoized per static shape). Under a data
+# mesh the WHOLE core is shard_map-wrapped: pallas_call has no GSPMD
+# partitioning rule, so plain-jit sharding would silently demote the fused
+# Pallas frontends (and CLAP's fused window attention) to their XLA
+# fallbacks; per-shard the batch is embarrassingly parallel and the kernels
+# run unchanged. The streamed statistics fold stays OUTSIDE the shard_map
+# (plain jit auto-partitions the masked reduction over the sharded rows).
+
+
+def _make_vggish_core(forward, num_patches: int, mesh):
     """[B, S] waveform -> [B, P, 128]: log-mel patches + CNN in one program.
 
     Computes ALL P = patches(bucket) rows per file; the host keeps each
     file's first P_i rows after the (tiny) fetch. The wasted tail compute is
     bounded by the ~6% bucket padding and is far cheaper than the extra
     dispatches of an on-device gather-select."""
-    patches = fe.vggish_patches_batch(wave, num_patches, impl=frontend)
-    emb = forward(params, patches.reshape(-1, 96, 64))
-    return emb.reshape(wave.shape[0], num_patches, -1)
+
+    def core(params, wave):
+        patches = fe.vggish_patches_batch(wave, num_patches, impl="auto")
+        emb = forward(params, patches.reshape(-1, 96, 64))
+        return emb.reshape(wave.shape[0], num_patches, -1)
+
+    if mesh is None:
+        return core
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.embed import shard_map
+    from .parallel.mesh import DATA_AXIS
+
+    return shard_map(
+        core, mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)
+    )
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward", "frontend"),
-)
-def _fused_mel_cnn_step(
-    params, wave, n_valid, target_sr: int, num_frames: int, i16_full_scale: float,
-    forward, frontend: str = "xla",
+def _make_mel_cnn_core(
+    forward, target_sr: int, num_frames: int, i16_full_scale: float, mesh
 ):
     """Reflect-padded [B, L] waveform -> [B, d]: log-mel + CNN, one program."""
-    mel = fe.pann_logmel_batch(
-        wave, target_sr, num_frames, n_valid, i16_full_scale=i16_full_scale,
-        impl=frontend,
+
+    def core(params, wave, n_valid):
+        mel = fe.pann_logmel_batch(
+            wave, target_sr, num_frames, n_valid, i16_full_scale=i16_full_scale,
+            impl="auto",
+        )
+        return forward(params, mel)
+
+    if mesh is None:
+        return core
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.embed import shard_map
+    from .parallel.mesh import DATA_AXIS
+
+    return shard_map(
+        core, mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
     )
-    return forward(params, mel)
+
+
+@functools.partial(jax.jit, static_argnames=("core",))
+def _fused_vggish_step(params, wave, core):
+    return core(params, wave)
+
+
+@functools.partial(jax.jit, static_argnames=("core",))
+def _fused_mel_cnn_step(params, wave, n_valid, core):
+    return core(params, wave, n_valid)
 
 
 # --- Fused chunk + streaming-stats programs (the device_stats sink path) ---
@@ -167,32 +209,18 @@ def _fold_stats(state, emb, mask):
     return stats_ops.update_stats(state, emb, mask)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("num_patches", "forward", "frontend")
-)
-def _fused_vggish_stats_step(
-    params, wave, p_counts, state, num_patches: int, forward, frontend: str = "xla"
-):
+@functools.partial(jax.jit, static_argnames=("core",))
+def _fused_vggish_stats_step(params, wave, p_counts, state, core):
     """[B, S] waveform + per-file patch counts -> updated StreamingStats."""
-    emb = _fused_vggish_step(params, wave, num_patches, forward, frontend)
-    mask = (jnp.arange(num_patches)[None, :] < p_counts[:, None]).astype(jnp.float32)
+    emb = core(params, wave)  # [B, P, d]
+    mask = (jnp.arange(emb.shape[1])[None, :] < p_counts[:, None]).astype(jnp.float32)
     return _fold_stats(state, emb, mask)
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("target_sr", "num_frames", "i16_full_scale", "forward", "frontend"),
-)
-def _fused_mel_cnn_stats_step(
-    params, wave, n_valid, n_live, state,
-    target_sr: int, num_frames: int, i16_full_scale: float, forward,
-    frontend: str = "xla",
-):
+@functools.partial(jax.jit, static_argnames=("core",))
+def _fused_mel_cnn_stats_step(params, wave, n_valid, n_live, state, core):
     """Mel-CNN chunk + stats update; rows >= n_live are batch padding."""
-    emb = _fused_mel_cnn_step(
-        params, wave, n_valid, target_sr, num_frames, i16_full_scale, forward,
-        frontend,
-    )
+    emb = core(params, wave, n_valid)
     mask = (jnp.arange(emb.shape[0]) < n_live).astype(jnp.float32)
     return _fold_stats(state, emb, mask)
 
@@ -272,6 +300,7 @@ class EmbeddingPipeline:
         self.file_batch = file_batch
         self.mesh = None
         self._min_batch = 1
+        self._core_cache = {}
         if patch_chunk is None:
             # The vggish patch budget must admit file_batch full files
             # (10 s -> 10 patches each); other families ignore it.
@@ -349,25 +378,12 @@ class EmbeddingPipeline:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         self.mesh = mesh
-        if self.cfg.family == "clap":
-            # pallas_call has no GSPMD partitioning rule, so plain-jit
-            # sharding could not partition the fused window-attention kernel.
-            # Wrapping the CLAP forward in shard_map runs the whole network —
-            # kernel included — per shard (the batch is embarrassingly
-            # parallel), keeping the measured 1.4x fused-attention win on
-            # multi-chip instead of silently falling back to XLA.
-            if mesh is None:
-                self._forward = self._base_forward
-            else:
-                from .parallel.embed import shard_map
-                from .parallel.mesh import DATA_AXIS
-
-                self._forward = shard_map(
-                    self._base_forward,
-                    mesh,
-                    in_specs=(P(), P(DATA_AXIS)),
-                    out_specs=P(DATA_AXIS),
-                )
+        # The vggish/pann/clap chunk programs are rebuilt via _core (the
+        # frontend+model closure that gets shard_map-wrapped under a mesh —
+        # pallas_call has no GSPMD partitioning rule, so plain-jit sharding
+        # would demote the fused Pallas frontends and CLAP's fused window
+        # attention to their XLA fallbacks; per-shard they run unchanged).
+        self._core_cache = {}
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, replicated)
@@ -377,13 +393,18 @@ class EmbeddingPipeline:
             self.patch_chunk = max(self.patch_chunk, n)
             self._min_batch = n
 
-    def _frontend_impl(self) -> str:
-        """Static frontend choice for the fused mel-CNN steps: the Pallas
-        fused log-mel on TPU ('auto', ops/frontends._resolve_frontend), but
-        the XLA chunk-sum under a data mesh — plain-jit sharding cannot
-        partition a pallas_call, and unlike the CLAP forward the frontend is
-        not wrapped in shard_map (its output feeds a sharded XLA program)."""
-        return "xla" if self.mesh is not None else "auto"
+    def _core(self, *key):
+        """Memoized frontend+model closure per static-shape key (a fresh
+        closure per call would defeat the step jits' static-arg cache)."""
+        fn = self._core_cache.get(key)
+        if fn is None:
+            kind = key[0]
+            if kind == "vggish":
+                fn = _make_vggish_core(self._base_forward, key[1], self.mesh)
+            else:
+                fn = _make_mel_cnn_core(self._base_forward, *key[1:], mesh=self.mesh)
+            self._core_cache[key] = fn
+        return fn
 
     def _bucket_batch(self, n: int, cap: Optional[int] = None) -> int:
         # Round up to a multiple of the mesh size: power-of-two buckets alone
@@ -562,14 +583,14 @@ class EmbeddingPipeline:
                     p_arr[: len(p_counts)] = p_counts
                     sink.state = _fused_vggish_stats_step(
                         self.params, self._to_device(wave), jnp.asarray(p_arr),
-                        sink.state, p_max, self._forward, self._frontend_impl(),
+                        sink.state, self._core("vggish", p_max),
                     )
                     for (i, _, _), count in zip(chunk, p_counts):
                         counts[i] = counts.get(i, 0) + count
                 else:
                     emb_dev = _fused_vggish_step(
-                        self.params, self._to_device(wave), p_max, self._forward,
-                        self._frontend_impl(),
+                        self.params, self._to_device(wave),
+                        self._core("vggish", p_max),
                     )  # [b, p_max, 128]
                     if sink is not None:
                         mask = np.zeros((b, p_max), np.float32)
@@ -645,20 +666,17 @@ class EmbeddingPipeline:
                 n_valid = np.zeros((b,), dtype=np.int32)
                 for row, i in enumerate(chunk_idx):
                     n_valid[row] = prepped[i][1]
+                core = self._core("mel", target_sr, num_frames, i16_full_scale)
                 if isinstance(sink, StatsSink):
                     sink.state = _fused_mel_cnn_stats_step(
                         self.params, self._to_device(wave), n_valid,
-                        jnp.asarray(len(chunk_idx), jnp.int32), sink.state,
-                        target_sr, num_frames, i16_full_scale, self._forward,
-                        self._frontend_impl(),
+                        jnp.asarray(len(chunk_idx), jnp.int32), sink.state, core,
                     )
                     for i in chunk_idx:
                         per_file[i] = 1
                 else:
                     emb_dev = _fused_mel_cnn_step(
-                        self.params, self._to_device(wave), n_valid,
-                        target_sr, num_frames, i16_full_scale, self._forward,
-                        self._frontend_impl(),
+                        self.params, self._to_device(wave), n_valid, core,
                     )
                     if sink is not None:
                         # Full batch + mask for the padded rows: no eager slice.
