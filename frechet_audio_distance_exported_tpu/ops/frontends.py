@@ -207,8 +207,9 @@ def _resolve_frontend(impl: str) -> str:
     (FAD_TPU_FUSED_FRONTEND=0 reverts to 'xla') and 'xla' on CPU, where
     Mosaic is unavailable. Host-facing API paths (waveform_to_logmel,
     goldens, verify_parity) pass 'xla' explicitly and stay on the exact
-    HIGH-precision chunk-sum; under a data mesh the pipeline also forces
-    'xla' (pallas_call has no GSPMD partitioning rule)."""
+    HIGH-precision chunk-sum. Under a data mesh the pipeline shard_maps the
+    whole frontend+model core (pipeline._core), so 'pallas' runs per-shard
+    (plain-jit sharding could not partition a pallas_call)."""
     import os
 
     if impl in ("xla", "pallas"):

@@ -19,10 +19,24 @@ from ..ops import stats as stats_ops
 from .mesh import DATA_AXIS
 
 try:  # jax >= 0.7 public API
+    import inspect
+
     from jax import shard_map as _shard_map
 
+    # check_vma=False: jax 0.9's varying-across-mesh-axes lint rejects any
+    # pallas_call whose out_shape ShapeDtypeStruct lacks a vma annotation
+    # (pallas_call.py:_convert_out_shape_to_aval), which would break every
+    # fused kernel run per-shard (frontends, window attention). All our
+    # shard_map bodies are plain batch-data-parallel (P(DATA_AXIS) in/out,
+    # replicated params), so the lint has nothing to catch here.
+    _KW = (
+        {"check_vma": False}
+        if "check_vma" in inspect.signature(_shard_map).parameters
+        else {}
+    )
+
     def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **_KW)
 
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old

@@ -44,6 +44,36 @@ def test_matches_xla_bitwise(sr, num_frames):
     assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_pallas_call_under_shard_map_matches_unsharded():
+    """The pipeline shard_maps the frontend+model core under a mesh so the
+    Pallas kernels run per-shard (pipeline._core). Lock the pallas_call +
+    shard_map combination itself: run the fused frontend (interpret mode)
+    inside shard_map over the 8-device CPU mesh and require bitwise equality
+    with the unsharded call. Catches GSPMD/vma regressions like the
+    check_vma ShapeDtypeStruct error class without TPU hardware."""
+    from jax.sharding import PartitionSpec as P
+
+    from frechet_audio_distance_exported_tpu.parallel.embed import shard_map
+    from frechet_audio_distance_exported_tpu.parallel.mesh import DATA_AXIS, data_mesh
+
+    sr, num_frames = 16000, 96
+    cfg = fe.PANN_CONFIGS[sr]
+    length = num_frames * cfg["hop_size"] + cfg["window_size"]
+    wave = _wave(8, length, seed=3)
+    n_valid = jnp.asarray([num_frames] * 7 + [num_frames - 5], jnp.int32)
+
+    ref = fused_pann_logmel(wave, n_valid, sr, num_frames, interpret=True)
+    mesh = data_mesh(jax.devices("cpu")[:8])
+    sharded = shard_map(
+        lambda w, n: fused_pann_logmel(w, n, sr, num_frames, interpret=True),
+        mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+    )
+    out = jax.jit(sharded)(wave, n_valid)
+    assert np.array_equal(np.asarray(out), np.asarray(ref))
+
+
 def test_mask_zeroes_invalid_rows():
     sr, num_frames = 16000, 200
     cfg = fe.PANN_CONFIGS[sr]
