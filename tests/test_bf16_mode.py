@@ -88,9 +88,9 @@ def test_attn_mode_is_a_static_arg_not_a_global():
     """The attention implementation is threaded through clap_forward as a
     static argument ('auto'/'fused'/'xla') — no process-wide mesh global, so
     meshed and unmeshed CLAP pipelines can coexist in one process. Under a
-    mesh the pipeline swaps in a shard_map-wrapped forward (inside which the
-    fused Pallas kernel runs per-shard) and restores the plain one on
-    set_mesh(None)."""
+    mesh the pipeline rebuilds its frontend+model core shard_map-wrapped
+    (pipeline._core; the fused kernels run per-shard) and set_mesh(None)
+    restores plain cores."""
     import jax
     import pytest as _pytest
 
@@ -105,11 +105,15 @@ def test_attn_mode_is_a_static_arg_not_a_global():
         clap._resolve_attn("fast")
 
     pipe = EmbeddingPipeline("clap", clap.init_clap_params(jax.random.PRNGKey(0)))
-    base = pipe._forward
+    key = ("mel", 48000, 1001, 32767.0)
+    base_core = pipe._core(*key)
+    assert pipe._core(*key) is base_core  # memoized per static key
     pipe.set_mesh(data_mesh())
-    assert pipe._forward is not base  # shard_map-wrapped
+    meshed_core = pipe._core(*key)
+    assert meshed_core is not base_core  # rebuilt shard_map-wrapped
+    assert pipe._core(*key) is meshed_core
     pipe.set_mesh(None)
-    assert pipe._forward is base
+    assert pipe._core(*key) is not meshed_core  # plain core again
 
 
 def test_bf16_encodec_mixed_precision(monkeypatch):
