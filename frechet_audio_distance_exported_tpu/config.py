@@ -124,6 +124,10 @@ def lstm_op_dtype():
         )
     if model_dtype_is_forced() and model_dtype() == jnp.float32:
         return jnp.float32
+    if os.environ.get("FAD_TPU_PRECISION", "").strip().lower() == "highest":
+        # "Full-f32, bitwise-closest to the reference" must cover the LSTM's
+        # recurrent matmuls too, not just the matmul_precision()-honoring ops.
+        return jnp.float32
     import jax
 
     return jnp.bfloat16 if jax.default_backend() in ("tpu", "axon") else jnp.float32

@@ -131,6 +131,23 @@ def cast_model_params(family: str, params, dtype):
 # (plain jit auto-partitions the masked reduction over the sharded rows).
 
 
+def _mesh_wrap(core, mesh, n_sharded_args: int):
+    """shard_map ``core(params, *batch_args)`` over the data axis (params
+    replicated, every batch arg sharded on dim 0); identity without a mesh."""
+    if mesh is None:
+        return core
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.embed import shard_map
+    from .parallel.mesh import DATA_AXIS
+
+    return shard_map(
+        core, mesh,
+        in_specs=(P(),) + (P(DATA_AXIS),) * n_sharded_args,
+        out_specs=P(DATA_AXIS),
+    )
+
+
 def _make_vggish_core(forward, num_patches: int, mesh):
     """[B, S] waveform -> [B, P, 128]: log-mel patches + CNN in one program.
 
@@ -144,16 +161,7 @@ def _make_vggish_core(forward, num_patches: int, mesh):
         emb = forward(params, patches.reshape(-1, 96, 64))
         return emb.reshape(wave.shape[0], num_patches, -1)
 
-    if mesh is None:
-        return core
-    from jax.sharding import PartitionSpec as P
-
-    from .parallel.embed import shard_map
-    from .parallel.mesh import DATA_AXIS
-
-    return shard_map(
-        core, mesh, in_specs=(P(), P(DATA_AXIS)), out_specs=P(DATA_AXIS)
-    )
+    return _mesh_wrap(core, mesh, n_sharded_args=1)
 
 
 def _make_mel_cnn_core(
@@ -168,18 +176,7 @@ def _make_mel_cnn_core(
         )
         return forward(params, mel)
 
-    if mesh is None:
-        return core
-    from jax.sharding import PartitionSpec as P
-
-    from .parallel.embed import shard_map
-    from .parallel.mesh import DATA_AXIS
-
-    return shard_map(
-        core, mesh,
-        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
-        out_specs=P(DATA_AXIS),
-    )
+    return _mesh_wrap(core, mesh, n_sharded_args=2)
 
 
 @functools.partial(jax.jit, static_argnames=("core",))
@@ -301,10 +298,12 @@ class EmbeddingPipeline:
         self.mesh = None
         self._min_batch = 1
         self._core_cache = {}
+        self._unmeshed_batching = None  # (file_batch, patch_chunk, _min_batch)
         if patch_chunk is None:
             # The vggish patch budget must admit file_batch full files
-            # (10 s -> 10 patches each); other families ignore it.
-            patch_chunk = 2560 if self.file_batch >= 256 else 1024
+            # (10 s -> 10 patches each) for ANY file_batch, explicit ones
+            # included; other families ignore it.
+            patch_chunk = max(1024, self.file_batch * 10)
         self.patch_chunk = patch_chunk
         self.verbose = verbose
         from .utils.profiling import StageTimer
@@ -377,14 +376,19 @@ class EmbeddingPipeline:
         import jax
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        self.mesh = mesh
-        # The vggish/pann/clap chunk programs are rebuilt via _core (the
+        # The vggish/pann/clap chunk programs are built via _core (the
         # frontend+model closure that gets shard_map-wrapped under a mesh —
         # pallas_call has no GSPMD partitioning rule, so plain-jit sharding
         # would demote the fused Pallas frontends and CLAP's fused window
         # attention to their XLA fallbacks; per-shard they run unchanged).
-        self._core_cache = {}
+        # Cores are cached per (mesh, shape key) — toggling a mesh off (or
+        # re-setting the same one) reuses the already-jitted programs.
+        self.mesh = mesh
         if mesh is not None:
+            if self._unmeshed_batching is None:
+                self._unmeshed_batching = (
+                    self.file_batch, self.patch_chunk, self._min_batch
+                )
             replicated = NamedSharding(mesh, P())
             self.params = jax.device_put(self.params, replicated)
             # Batch buckets must stay divisible by the mesh size.
@@ -392,18 +396,26 @@ class EmbeddingPipeline:
             self.file_batch = max(self.file_batch, n)
             self.patch_chunk = max(self.patch_chunk, n)
             self._min_batch = n
+        elif self._unmeshed_batching is not None:
+            # Restore the pre-mesh batching so an unmeshed pipeline stops
+            # padding trailing chunks to multiples of the old mesh size.
+            self.file_batch, self.patch_chunk, self._min_batch = (
+                self._unmeshed_batching
+            )
+            self._unmeshed_batching = None
 
     def _core(self, *key):
-        """Memoized frontend+model closure per static-shape key (a fresh
-        closure per call would defeat the step jits' static-arg cache)."""
-        fn = self._core_cache.get(key)
+        """Memoized frontend+model closure per (mesh, static-shape key) — a
+        fresh closure per call would defeat the step jits' static-arg cache."""
+        full_key = (self.mesh,) + key
+        fn = self._core_cache.get(full_key)
         if fn is None:
             kind = key[0]
             if kind == "vggish":
                 fn = _make_vggish_core(self._base_forward, key[1], self.mesh)
             else:
                 fn = _make_mel_cnn_core(self._base_forward, *key[1:], mesh=self.mesh)
-            self._core_cache[key] = fn
+            self._core_cache[full_key] = fn
         return fn
 
     def _bucket_batch(self, n: int, cap: Optional[int] = None) -> int:

@@ -124,13 +124,20 @@ def main():
     wave = jax.random.normal(jax.random.PRNGKey(2), (32, 1, 240000), jnp.float32) * 0.1
 
     # encodec_forward is module-level-jitted; its trace cache would serve the
-    # pre-swap trace for both variants. Trace the unjitted body instead.
+    # pre-swap trace for both variants. Trace the unjitted body instead, and
+    # pin the baseline's op_dtype to f32 explicitly (since round 3 the
+    # shipped default resolves to bf16 operands on TPU via
+    # config.lstm_op_dtype(), which would make swap=False measure bf16 too).
     raw_forward = E.encodec_forward.__wrapped__
 
     def fwd(swap):
         orig = E._slstm
         if swap:
-            E._slstm = lambda pp, xx, unroll=20: bf16_slstm(pp, xx, unroll)
+            E._slstm = lambda pp, xx, unroll=20, **kw: bf16_slstm(pp, xx, unroll)
+        else:
+            E._slstm = lambda pp, xx, unroll=20, **kw: orig(
+                pp, xx, unroll, op_dtype=jnp.float32
+            )
         try:
             out = jax.jit(lambda w: raw_forward(pm, w, causal=True))(wave)
             return np.asarray(out.astype(jnp.float32), np.float64)
@@ -157,7 +164,11 @@ def main():
             w = jax.random.normal(k, (64, 1, 240000), jnp.float32) * (0.05 + 0.02 * seed / 10)
             orig = E._slstm
             if swap:
-                E._slstm = lambda pp, xx, unroll=20: bf16_slstm(pp, xx, unroll)
+                E._slstm = lambda pp, xx, unroll=20, **kw: bf16_slstm(pp, xx, unroll)
+            else:
+                E._slstm = lambda pp, xx, unroll=20, **kw: orig(
+                    pp, xx, unroll, op_dtype=jnp.float32
+                )
             try:
                 e = jax.jit(lambda ww: raw_forward(pm, ww, causal=True))(w)
             finally:

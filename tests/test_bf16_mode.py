@@ -113,7 +113,8 @@ def test_attn_mode_is_a_static_arg_not_a_global():
     assert meshed_core is not base_core  # rebuilt shard_map-wrapped
     assert pipe._core(*key) is meshed_core
     pipe.set_mesh(None)
-    assert pipe._core(*key) is not meshed_core  # plain core again
+    # Untoggling restores the ORIGINAL cached core (and its jitted programs).
+    assert pipe._core(*key) is base_core
 
 
 def test_bf16_encodec_mixed_precision(monkeypatch):
