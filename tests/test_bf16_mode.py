@@ -84,6 +84,35 @@ def test_model_dtype_rejects_typos(monkeypatch):
         model_dtype()
 
 
+def test_lstm_op_dtype_resolution(monkeypatch):
+    """The Encodec recurrent-matmul operand dtype: env override wins; an
+    explicit full-f32 force (FAD_TPU_MODEL_DTYPE=float32 or
+    FAD_TPU_PRECISION=highest) keeps it float32; typos raise; the platform
+    default is float32 on CPU (this harness) / bfloat16 on TPU."""
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from frechet_audio_distance_exported_tpu.config import lstm_op_dtype
+
+    for var in ("FAD_TPU_LSTM_MATMUL", "FAD_TPU_MODEL_DTYPE", "FAD_TPU_PRECISION"):
+        monkeypatch.delenv(var, raising=False)
+    assert lstm_op_dtype() == jnp.float32  # cpu backend here
+    monkeypatch.setenv("FAD_TPU_LSTM_MATMUL", "bf16")
+    assert lstm_op_dtype() == jnp.bfloat16
+    # The explicit knob outranks the full-f32 forces.
+    monkeypatch.setenv("FAD_TPU_MODEL_DTYPE", "float32")
+    assert lstm_op_dtype() == jnp.bfloat16
+    monkeypatch.delenv("FAD_TPU_LSTM_MATMUL")
+    assert lstm_op_dtype() == jnp.float32  # forced full-f32
+    monkeypatch.delenv("FAD_TPU_MODEL_DTYPE")
+    monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+    assert lstm_op_dtype() == jnp.float32  # bitwise-closest mode
+    monkeypatch.delenv("FAD_TPU_PRECISION")
+    monkeypatch.setenv("FAD_TPU_LSTM_MATMUL", "int8")
+    with _pytest.raises(ValueError, match="FAD_TPU_LSTM_MATMUL"):
+        lstm_op_dtype()
+
+
 def test_attn_mode_is_a_static_arg_not_a_global():
     """The attention implementation is threaded through clap_forward as a
     static argument ('auto'/'fused'/'xla') — no process-wide mesh global, so
