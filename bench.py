@@ -79,7 +79,7 @@ def _accumulate(acc, emb):
     return stats.update_stats(acc, emb, jnp.ones(emb.shape[:-1], jnp.float32))
 
 
-def bench_vggish(files_per_step=256):
+def bench_vggish(files_per_step=512):  # shipped TPU default (pipeline.py)
     import jax
     import jax.numpy as jnp
 

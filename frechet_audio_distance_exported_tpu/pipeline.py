@@ -286,12 +286,12 @@ class EmbeddingPipeline:
                 # landed: 450.7/429.6/446.7 at B=32/64/128 — 32 still wins.)
                 file_batch = 32
             elif self.cfg.family == "vggish" and on_tpu:
-                # Match the measured step knee (bench_vggish: 1052 at 256
-                # files x 10 patches; 512 gains only +1.2%). The old generic
-                # 32 capped vggish programs at 320 patches — 8x below the
-                # knee the bench records (invisible through the tunnel,
-                # real on a TPU host).
-                file_batch = 256
+                # Measured step knee (bench_vggish, interleaved twice):
+                # 1052.0/1053.1 at 256 files x 10 patches, 1064.7/1065.4 at
+                # 512 (+1.2%, ~4 GB peak conv1 activation). The old generic
+                # 32 capped vggish programs at 320 patches — 16x below the
+                # knee (invisible through the tunnel, real on a TPU host).
+                file_batch = 512
             else:
                 file_batch = 32
         self.file_batch = file_batch
