@@ -34,6 +34,26 @@ def test_mesh_embeddings_match_single_device(model, sine_audio):
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
 
 
+def test_mesh_vggish_long_file_segments(sine_audio):
+    """A file longer than patch_chunk patches is split into segments
+    (pipeline._embed_vggish); under a mesh each segment batch must still
+    bucket to a mesh-divisible size and reassemble in order."""
+    sr = 16000
+    fad = FrechetAudioDistance(model_name="vggish", weights="random")
+    fad.pipeline.patch_chunk = 4  # force segmentation: 12 patches -> 3 segments
+    long_clip = sine_audio(12.0, 330.0, sr)  # ~12 patches
+    clips = [long_clip, sine_audio(1.5, 500.0, sr)]
+    single = fad.get_embeddings(clips, sr)
+
+    fad_mesh = FrechetAudioDistance(model_name="vggish", weights="random")
+    fad_mesh.pipeline.set_mesh(mesh_mod.data_mesh())
+    fad_mesh.pipeline.patch_chunk = 8  # mesh-divisible but still segmenting
+    sharded = fad_mesh.get_embeddings(clips, sr)
+
+    assert sharded.shape == single.shape
+    np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
+
+
 @pytest.mark.parametrize("model", ["clap", "encodec-24k"])
 def test_mesh_device_stats_match_host(model, sine_audio):
     """Sharded accumulate_stats (sink path) == host-gathered statistics for
