@@ -53,12 +53,21 @@ def main():
                             jnp.float32) * 10.0 - 30.0
 
     def prefix(log_mel, n: int):
-        """Shipped stage-0 math (mirrors clap_forward) cut after sub-step n."""
+        """Shipped stage-0 math (mirrors clap_forward) cut after sub-step n.
+        Since round 3 the interp runs as the 4-tap gather form (clap.py
+        _bicubic_taps); pass n=-1 for the old dense einsum, for comparison."""
         b, t, f = log_mel.shape
-        interp = jnp.asarray(M._bicubic_time_matrix(t, M.TARGET_T))
-        x = jnp.einsum("ot,btf->bof", interp, log_mel,
-                       preferred_element_type=jnp.float32,
-                       precision=matmul_precision())
+        if n == -1:
+            interp = jnp.asarray(M._bicubic_time_matrix(t, M.TARGET_T))
+            return jnp.einsum("ot,btf->bof", interp, log_mel,
+                              preferred_element_type=jnp.float32,
+                              precision=matmul_precision())
+        idx, w = M._bicubic_taps(t, M.TARGET_T)
+        idx, w = jnp.asarray(idx), jnp.asarray(w)
+        x = None
+        for k in range(4):
+            term = w[:, k][None, :, None] * jnp.take(log_mel, idx[:, k], axis=1)
+            x = term if x is None else x + term
         if n == 0:
             return x
         x = common.batch_norm(x, params["bn0"])
@@ -79,10 +88,10 @@ def main():
         x = common.layer_norm(x, **pe["norm"])
         return x
 
-    names = ["interp einsum", "+bn0", "+reshape/transpose", "+patch conv",
-             "+flatten/LN (full stage0)"]
+    names = ["dense einsum (old)", "interp tap4", "+bn0", "+reshape/transpose",
+             "+patch conv", "+flatten/LN (full stage0)"]
     prev = 0.0
-    for n, name in enumerate(names):
+    for n, name in zip(range(-1, 5), names):
         fn = jax.jit(
             lambda acc, m, n=n: acc + jnp.sum(prefix(m, n).astype(jnp.float32))
         )
