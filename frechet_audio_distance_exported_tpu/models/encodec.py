@@ -135,12 +135,16 @@ def _slstm(
     x = x.astype(jnp.float32)
     b, t, h = x.shape
     if not unroll:
-        # The unroll must DIVIDE the step count: a remainder loop costs ~14%
-        # of the scan (measured B=128 bf16-ops, T=750: unroll 20 -> 23.2 ms
-        # vs 20.3-20.5 for 10/30/50/75, all of which divide 750; 10/30 also
-        # divide the 48k T=1500).
-        unroll = next(u for u in (32, 30, 25, 20, 16, 15, 10, 8, 5, 4, 3, 2, 1)
-                      if t % u == 0)
+        # The unroll should DIVIDE the step count: a remainder loop costs
+        # ~14% of the scan (measured B=128 bf16-ops, T=750: unroll 20 ->
+        # 23.2 ms vs 20.3-20.5 for 10/30/50/75, all of which divide 750;
+        # 10/30 also divide the 48k T=1500). But a tiny dividing unroll
+        # forfeits the cross-iteration pipelining entirely — worse than the
+        # remainder loop — so step counts with no divisor >= 8 (e.g. prime T
+        # from odd wire buckets) fall back to 20-with-remainder.
+        unroll = next(
+            (u for u in (32, 30, 25, 20, 16, 15, 12, 10, 8) if t % u == 0), 20
+        )
     p0, p1 = p["l0"], p["l1"]
     gates_x0 = common.linear(x.reshape(b * t, h), p0["w_ih"], p0["b_ih"]).reshape(b, t, 4 * h)
     gates_x0 = jnp.swapaxes(gates_x0, 0, 1)  # [T, B, 4H] time-major for scan

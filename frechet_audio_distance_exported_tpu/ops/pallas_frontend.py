@@ -94,17 +94,20 @@ def fused_vggish_logmel(
     (NOT power; reference models/vggish.py:125-141), HTK
     mel with zeroed DC column, log(mel + 0.01). No mask — VGGish callers
     mask whole patches via per-file patch counts. int16 dequantization stays
-    with the caller. t_tile=0 picks 512 for long grids (B=512 x 960-frame
-    sweep: 9.60 -> 8.83 ms vs t_tile 128; pann/clap geometries measured flat
-    or worse at 512 and keep _T_TILE) and 128 for short segments, where a
-    512 tile would pad 96-frame programs 5x.
+    with the caller. t_tile=0 picks 512 when its grid padding stays within
+    10% of the 128-tile grid (B=512 x 960-frame sweep: 9.60 -> 8.83 ms, a
+    ~16% per-row win that a 6.7% pad still clears; pann/clap geometries
+    measured flat or worse at 512 and keep _T_TILE). Mid-size grids whose
+    512-rounding would pad 30-80% (e.g. 576 frames -> 1024) keep 128.
     """
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
     from .frontends import VGGISH_HOP, VGGISH_LOG_OFFSET, VGGISH_MEL_BINS
 
     if not t_tile:
-        t_tile = 512 if num_frames >= 384 else _T_TILE
+        pad512 = -(-num_frames // 512) * 512
+        pad128 = -(-num_frames // _T_TILE) * _T_TILE
+        t_tile = 512 if pad512 * 10 <= pad128 * 11 else _T_TILE
 
     catc2d_np, melmat_np, m_chunks, nbin = _vggish_consts()
     catc2d = jnp.asarray(catc2d_np)

@@ -27,8 +27,9 @@ would cut the overlap to ~22% but projects to parity at best. Numerics
 were fine (mean-emb delta 5.5e-5).
 
 The full working implementation (kernel + clap_forward_from_bn0 split +
-pipeline/bench wiring + interpret test) is preserved as a git patch inside
-this file's repository history — see the commit that added this script.
+pipeline/bench wiring + interpret test) is preserved as a tracked patch:
+scripts/patches/clap_stage0_kernel.patch (applies cleanly to the commit
+that added this script).
 
 Usage: python scripts/exp_clap_stage0_kernel.py   # prints the record above
 """

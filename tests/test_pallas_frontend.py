@@ -100,7 +100,9 @@ def test_short_wave_is_zero_extended():
     assert np.array_equal(np.asarray(out), np.asarray(ref))
 
 
-@pytest.mark.parametrize("num_frames", [96, 296])  # one tile exact; non-multiple
+# 96: one 128-tile exact; 296: non-multiple; 480: auto-picks the 512 tile
+# (the shipped TPU default for >=4-patch grids, ops/pallas_frontend.py).
+@pytest.mark.parametrize("num_frames", [96, 296, 480])
 def test_vggish_matches_xla_chunk_sum(num_frames):
     from frechet_audio_distance_exported_tpu.ops import dsp
     from frechet_audio_distance_exported_tpu.ops.pallas_frontend import (
