@@ -166,15 +166,18 @@ def main():
         pp = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
 
         def timed(fn, *xs):
+            # float(acc) fetch, NOT block_until_ready: the latter does not
+            # force execution through the axon tunnel (measured 100x-fast
+            # lies in the t_tile sweep; bench.py's documented rule).
             acc = jnp.zeros((), jnp.float32)
             g = jax.jit(lambda a, *z: a + jnp.sum(fn(*z).astype(jnp.float32)))
             acc = g(acc, *xs)
-            jax.block_until_ready(acc)
+            float(acc)
             acc = jnp.zeros((), jnp.float32)
             t0 = time.perf_counter()
             for _ in range(args.iters):
                 acc = g(acc, *xs)
-            jax.block_until_ready(acc)
+            float(acc)
             return (time.perf_counter() - t0) / args.iters * 1e3
 
         ms_x = timed(lambda xx: jax.nn.elu(E._res_block(pp, xx, causal=True)), x)
