@@ -288,7 +288,9 @@ DRIVER_RECORD = {
     "metric": "vggish_embedding_throughput",
     "value": 0.0,
     "unit": "audio_min/sec/chip",
-    "vs_baseline": 0.0,
+    # null until a real baseline divide happens (a 0.0 here would be
+    # indistinguishable from a genuine measurement of zero).
+    "vs_baseline": None,
     "families": {},
 }
 
@@ -343,7 +345,7 @@ def main():
     _arm_watchdog(600)
     import signal
 
-    value = 0.0
+    value = None
     try:
         value = bench_vggish()
         DRIVER_RECORD["value"] = round(value, 3)
@@ -362,11 +364,16 @@ def main():
             print(f"[bench] {name} failed: {e}", file=sys.stderr, flush=True)
 
     signal.alarm(0)
-    try:
-        baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
-        DRIVER_RECORD["vs_baseline"] = round(value / baseline, 2)
-    except Exception as e:
-        print(f"[bench] torch-cpu baseline failed: {e}", file=sys.stderr, flush=True)
+    if value is None:
+        # vggish never measured: vs_baseline must read null, not a fabricated
+        # 0.0 that is indistinguishable from a genuine zero (ADVICE r3).
+        DRIVER_RECORD["vs_baseline"] = None
+    else:
+        try:
+            baseline = bench_torch_cpu() * PATCH_SECONDS / 60.0
+            DRIVER_RECORD["vs_baseline"] = round(value / baseline, 2)
+        except Exception as e:
+            print(f"[bench] torch-cpu baseline failed: {e}", file=sys.stderr, flush=True)
     _emit_driver_record()
 
 

@@ -57,6 +57,23 @@ def enable_compilation_cache(path: str | None = None) -> None:
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def exactness_forced() -> bool:
+    """True when the user explicitly asked for the bitwise-closest numerics:
+    FAD_TPU_PRECISION=highest, or an explicit FAD_TPU_MODEL_DTYPE=float32.
+
+    Components with a fast-but-DEFAULT-precision device default consult this
+    and fall back to their exact form: the fused Pallas frontends (bf16 MXU
+    DFT/mel matmuls, up to ~0.6 dB on near-cancellation quiet bins) revert to
+    the HIGH/HIGHEST XLA chunk-sum, VGGish's lane-concat single-matmul DFT
+    reverts to the chunk-sum accumulation order, and the Encodec LSTM operand
+    dtype stays float32 (lstm_op_dtype below)."""
+    import jax.numpy as jnp
+
+    if os.environ.get("FAD_TPU_PRECISION", "").strip().lower() == "highest":
+        return True
+    return model_dtype_is_forced() and model_dtype() == jnp.float32
+
+
 def exact_sqrtm() -> bool:
     """FAD_TPU_EXACT_SQRTM=1 selects the reference's scipy sqrtm algorithm
     bit-for-bit over the exact-but-faster Gram/eigh epilogues."""
@@ -82,7 +99,12 @@ def model_dtype():
     Encodec runs MIXED precision in this mode (conv stages bf16, LSTM +
     output projection float32, pipeline.cast_model_params): full bf16
     compounds error over the LSTM's ~750 sequential steps and destroys the
-    score. Frontends and statistics always stay float32."""
+    score. Statistics always stay float32. Frontends keep float32
+    intermediates on the XLA path, but the TPU default ('auto' in
+    ops/frontends._resolve_frontend) is the fused Pallas kernel whose
+    DFT/mel matmuls run at Mosaic DEFAULT precision (bf16 operand passes) —
+    FAD_TPU_FUSED_FRONTEND=0, FAD_TPU_PRECISION=highest, or an explicit
+    float32 force here all revert it to the exact XLA chunk-sum."""
     import jax.numpy as jnp
 
     name = os.environ.get("FAD_TPU_MODEL_DTYPE", "").strip().lower()
@@ -122,9 +144,7 @@ def lstm_op_dtype():
         raise ValueError(
             f"FAD_TPU_LSTM_MATMUL={name!r}: expected 'float32' or 'bfloat16'"
         )
-    if model_dtype_is_forced() and model_dtype() == jnp.float32:
-        return jnp.float32
-    if os.environ.get("FAD_TPU_PRECISION", "").strip().lower() == "highest":
+    if exactness_forced():
         # "Full-f32, bitwise-closest to the reference" must cover the LSTM's
         # recurrent matmuls too, not just the matmul_precision()-honoring ops.
         return jnp.float32

@@ -28,7 +28,7 @@ import numpy as np
 
 from . import dsp
 from .resample import resample
-from ..config import matmul_precision
+from ..config import exactness_forced, matmul_precision
 
 
 # ---------------------------------------------------------------------------
@@ -165,9 +165,14 @@ def vggish_logmel_batch(
     # window->DFT->mel->log; see scripts/pallas_logmel_rejected.py.
     # single_matmul: one [B, T, 3*hop] x [3*hop, 2F] DFT product instead of a
     # 3-chunk matmul sum (frontend 8.09 -> 6.90 ms at B=256; ~7e-6 on this
-    # offset-floored log-mel — dsp.stft_spectrum_strided docstring).
-    mag = dsp.stft_magnitude_strided(wave, num_frames, VGGISH_WINDOW, VGGISH_FFT,
-                                     VGGISH_HOP, single_matmul=True)
+    # offset-floored log-mel — dsp.stft_spectrum_strided docstring). Only the
+    # device fast path ('auto', without a user exactness force) opts in:
+    # explicit impl='xla' is the host-facing/golden/parity route and keeps
+    # the pre-existing chunk-sum accumulation order (ADVICE r3).
+    mag = dsp.stft_magnitude_strided(
+        wave, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP,
+        single_matmul=(impl == "auto" and not exactness_forced()),
+    )
     mel = jnp.matmul(mag, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
     return jnp.log(mel + VGGISH_LOG_OFFSET)
 
@@ -207,9 +212,14 @@ def _resolve_frontend(impl: str) -> str:
     (FAD_TPU_FUSED_FRONTEND=0 reverts to 'xla') and 'xla' on CPU, where
     Mosaic is unavailable. Host-facing API paths (waveform_to_logmel,
     goldens, verify_parity) pass 'xla' explicitly and stay on the exact
-    HIGH-precision chunk-sum. Under a data mesh the pipeline shard_maps the
-    whole frontend+model core (pipeline._core), so 'pallas' runs per-shard
-    (plain-jit sharding could not partition a pallas_call)."""
+    HIGH-precision chunk-sum. The kernel's DFT/mel matmuls run at Mosaic
+    DEFAULT precision (one bf16 pass, up to ~0.6 dB on near-cancellation
+    quiet bins), so 'auto' also falls back to 'xla' when the user forced
+    exact numerics (FAD_TPU_PRECISION=highest or FAD_TPU_MODEL_DTYPE=
+    float32) — mirroring config.lstm_op_dtype. Under a data mesh the
+    pipeline shard_maps the whole frontend+model core (pipeline._core), so
+    'pallas' runs per-shard (plain-jit sharding could not partition a
+    pallas_call)."""
     import os
 
     if impl in ("xla", "pallas"):
@@ -219,6 +229,8 @@ def _resolve_frontend(impl: str) -> str:
     if os.environ.get("FAD_TPU_FUSED_FRONTEND", "1").strip().lower() in (
         "0", "false", "off", "no",
     ):
+        return "xla"
+    if exactness_forced():
         return "xla"
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 

@@ -23,32 +23,35 @@ try:  # jax >= 0.7 public API
 
     from jax import shard_map as _shard_map
 
-    # check_vma=False: jax 0.9's varying-across-mesh-axes lint rejects any
-    # pallas_call whose out_shape ShapeDtypeStruct lacks a vma annotation
-    # (pallas_call.py:_convert_out_shape_to_aval), which would break every
-    # fused kernel run per-shard (frontends, window attention). All our
-    # shard_map bodies are plain batch-data-parallel (P(DATA_AXIS) in/out,
-    # replicated params), so the lint has nothing to catch here.
-    _KW = (
-        {"check_vma": False}
-        if "check_vma" in inspect.signature(_shard_map).parameters
-        else {}
-    )
+    # check_vma=False opt-out: jax 0.9's varying-across-mesh-axes lint
+    # rejects any pallas_call whose out_shape ShapeDtypeStruct lacks a vma
+    # annotation (pallas_call.py:_convert_out_shape_to_aval), which would
+    # break every fused kernel run per-shard (frontends, window attention).
+    # Scoped (ADVICE r3): only the pallas_call-bearing frontend+model cores
+    # (pipeline._mesh_wrap) disable the lint; plain-jnp bodies like the
+    # statistics reduction below keep it, so a future in_specs/out_specs
+    # mistake there is still caught.
+    _HAS_VMA = "check_vma" in inspect.signature(_shard_map).parameters
 
-    def shard_map(f, mesh, in_specs, out_specs):
-        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **_KW)
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
+        kw = {"check_vma": False} if (_HAS_VMA and not check_vma) else {}
+        return _shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
-    def shard_map(f, mesh, in_specs, out_specs):
+    def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
         return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
 
 
 def make_sharded_embed_stats(
-    mesh: Mesh, model_fn: Callable
+    mesh: Mesh, model_fn: Callable, check_vma: bool = True
 ) -> Callable[[dict, jnp.ndarray, jnp.ndarray], stats_ops.StreamingStats]:
     """Build fn(params, rows, mask) -> StreamingStats, batch sharded over 'data'.
+
+    Pass check_vma=False when ``model_fn`` contains a pallas_call (fused
+    frontend / window-attention kernels on TPU) — jax 0.9's vma lint rejects
+    those per-shard; plain-jnp models keep the lint.
 
     ``rows`` [B, ...] are model inputs (patches / log-mels / waveforms),
     ``mask`` [B] zeroes padded rows. The statistics are psum-reduced and
@@ -82,6 +85,7 @@ def make_sharded_embed_stats(
         mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=(P(), P(), P(), P()),
+        check_vma=check_vma,
     )
 
     @jax.jit
@@ -92,7 +96,9 @@ def make_sharded_embed_stats(
     return fn
 
 
-def make_sharded_score_step(mesh: Mesh, model_fn: Callable) -> Callable:
+def make_sharded_score_step(
+    mesh: Mesh, model_fn: Callable, check_vma: bool = True
+) -> Callable:
     """Build the full fused scoring step:
 
     fn(params, rows_bg, mask_bg, rows_ev, mask_ev) -> FAD scalar
@@ -101,7 +107,7 @@ def make_sharded_score_step(mesh: Mesh, model_fn: Callable) -> Callable:
     epilogue (finalize + eigh trace-sqrtm) runs replicated on device. This is
     the multi-chip production path and the dryrun_multichip target.
     """
-    embed_stats = make_sharded_embed_stats(mesh, model_fn)
+    embed_stats = make_sharded_embed_stats(mesh, model_fn, check_vma=check_vma)
 
     @jax.jit
     def step(params, rows_bg, mask_bg, rows_ev, mask_ev):

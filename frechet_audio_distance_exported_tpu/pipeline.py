@@ -145,6 +145,10 @@ def _mesh_wrap(core, mesh, n_sharded_args: int):
         core, mesh,
         in_specs=(P(),) + (P(DATA_AXIS),) * n_sharded_args,
         out_specs=P(DATA_AXIS),
+        # The cores contain pallas_call (fused frontends / window attention),
+        # which jax 0.9's vma lint rejects; only they opt out — see
+        # parallel/embed.py.
+        check_vma=False,
     )
 
 
