@@ -29,6 +29,9 @@ from ..ops.resample import resample
 
 try:  # Optional: honor soundfile if the environment provides it.
     import soundfile as _sf  # type: ignore
+
+    if not hasattr(_sf, "read"):  # a test stub or broken install, not the API
+        _sf = None
 except Exception:  # pragma: no cover - absent in this environment
     _sf = None
 

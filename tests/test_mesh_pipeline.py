@@ -10,17 +10,20 @@ from frechet_audio_distance_exported_tpu.parallel import mesh as mesh_mod
 
 
 @pytest.mark.parametrize(
-    "model", ["vggish", "pann-8k", "pann-16k", "pann-32k", "clap", "encodec-24k"]
+    "model",
+    ["vggish", "pann-8k", "pann-16k", "pann-32k", "clap", "encodec-24k", "encodec-48k"],
 )
 def test_mesh_embeddings_match_single_device(model, sine_audio):
     """All families under the mesh: vggish/pann take the GSPMD path (the
     8k/32k variants add the cross-SR resample before sharding), CLAP the
     shard_map-wrapped forward (pipeline.set_mesh), Encodec the masked
-    frame-count path with fixed 10 s inputs."""
+    frame-count path with fixed 10 s inputs — including the 48k variant
+    (stereo + per-conv GroupNorm + non-causal padding), which shard_map had
+    never executed before round 4."""
     sr = 16000
     # Short clips keep the CPU Swin/LSTM cost bounded; CLAP/Encodec pad to
     # their fixed shapes internally, so the mesh path is fully exercised.
-    n = 3 if model in ("clap", "encodec-24k") else 5
+    n = {"clap": 3, "encodec-24k": 3, "encodec-48k": 2}.get(model, 5)
     clips = [sine_audio(1.5, 440.0 + 30 * i, sr) for i in range(n)]
 
     fad = FrechetAudioDistance(model_name=model, weights="random")
@@ -54,15 +57,16 @@ def test_mesh_vggish_long_file_segments(sine_audio):
     np.testing.assert_allclose(sharded, single, rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("model", ["clap", "encodec-24k"])
+@pytest.mark.parametrize("model", ["clap", "encodec-24k", "encodec-48k"])
 def test_mesh_device_stats_match_host(model, sine_audio):
     """Sharded accumulate_stats (sink path) == host-gathered statistics for
-    the two families the round-2 mesh tests never exercised (CLAP's
-    shard_map forward; Encodec's per-frame masks under sharding)."""
+    the families the round-2 mesh tests never exercised (CLAP's shard_map
+    forward; Encodec's per-frame masks under sharding; 48k's stereo +
+    GroupNorm variant)."""
     from frechet_audio_distance_exported_tpu.ops import stats as stats_ops
 
     sr = 16000
-    clips = [sine_audio(1.2, 440.0 + 40 * i, sr) for i in range(3)]
+    clips = [sine_audio(1.2, 440.0 + 40 * i, sr) for i in range(2 if model == "encodec-48k" else 3)]
 
     fad = FrechetAudioDistance(model_name=model, weights="random")
     emb = fad.get_embeddings(clips, sr)

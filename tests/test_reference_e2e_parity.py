@@ -1,12 +1,30 @@
 """End-to-end FAD parity against the reference implementation itself.
 
 Runs the reference package's own FrechetAudioDistance.get_embeddings /
-calculate_embd_statistics / calculate_frechet_distance (fad.py), with its own
-NumPy frontend and its own VGGishCore torch module carrying OUR weights, and
-compares the final FAD score with this framework on the same audio. The only
-stubbed pieces are soundfile/resampy/librosa imports (never called on the
-16 kHz VGGish path). Bar: |FAD_ref - FAD_ours| < 1e-3 — tighter than the
-reference's own 0.01 equivalence bar (verify_export.py:200)."""
+calculate_embd_statistics / calculate_frechet_distance (fad.py) — its own
+orchestration branches for ALL FOUR model families — with torch models
+carrying OUR weights, and compares the final FAD score with this framework
+on the same audio. Per family, the reference code in the loop:
+
+- vggish: NumPy frontend (models/vggish.py) + its own VGGishCore module.
+- pann:   waveform_to_logmel + _pad_to_valid_pann_time (fad.py:372-385)
+          + its own PANNCore module.
+- encodec: preprocess_for_encodec + pad_to_fixed_length + the
+          trim-to-samples//320 + transpose branch (fad.py:319-349), with a
+          torch.jit.trace'd SEANet carrying the weights our pipeline loads
+          from the SAME .pt artifact (the artifact round-trip is in the
+          loop too).
+- clap:   pad-waveform-before-mel + preprocess_for_clap (int16 quantize)
+          + _pad_to_clap_time (fad.py:351-370), with a torch-kernel HTSAT
+          forward on our params.
+
+The only substituted pieces are the soundfile/resampy imports (never called:
+audio is passed as arrays at native SR) and librosa's two primitives, which
+are shimmed faithfully (periodic-Hann reflect-pad STFT in NumPy; Slaney mel
+via transformers.audio_utils — exact vs librosa.filters.mel, see
+test_transformers_frontend_parity.py). Bar: |FAD_ref - FAD_ours| < 1e-3 —
+10x tighter than the reference's own 0.01 equivalence bar
+(verify_export.py:200, verify_pann.py:291)."""
 
 import importlib
 import sys
@@ -17,20 +35,94 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
+from torch_replicas import (  # noqa: E402
+    ClapModuleLike,
+    SEANetLike,
+    load_pann_weights,
+    load_vggish_weights,
+)
+
+
+def _shim_stft(y, n_fft=2048, hop_length=None, win_length=None, window="hann",
+               center=True, pad_mode="reflect"):
+    """librosa.stft for the exact argument combination the reference uses
+    (models/pann.py:107-115): hann window, win_length == n_fft, center=True,
+    reflect padding. Periodic Hann == scipy get_window('hann', fftbins=True),
+    which is what librosa uses."""
+    assert window == "hann" and center and pad_mode == "reflect"
+    assert win_length == n_fft and hop_length is not None
+    w = (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n_fft) / n_fft)).astype(np.float64)
+    y = np.pad(np.asarray(y, np.float64), n_fft // 2, mode="reflect")
+    n_frames = 1 + (len(y) - n_fft) // hop_length
+    idx = np.arange(n_fft)[None, :] + hop_length * np.arange(n_frames)[:, None]
+    return np.fft.rfft(y[idx] * w, axis=1).T  # [1 + n_fft//2, T]
+
+
+def _shim_mel(sr=22050, n_fft=2048, n_mels=128, fmin=0.0, fmax=None):
+    """librosa.filters.mel via transformers' independent implementation of
+    the identical Slaney recipe (exact to 1e-8 — test_transformers_frontend
+    _parity.py::test_slaney_mel_matrix_matches_transformers)."""
+    import transformers.audio_utils as au  # imported by the fixture already
+
+    return au.mel_filter_bank(
+        num_frequency_bins=n_fft // 2 + 1,
+        num_mel_filters=n_mels,
+        min_frequency=fmin,
+        max_frequency=fmax,
+        sampling_rate=sr,
+        norm="slaney",
+        mel_scale="slaney",
+    ).T.astype(np.float32)  # [n_mels, n_fft//2+1]
+
 
 @pytest.fixture(scope="module")
 def reference_fad_module():
-    for stub in ("soundfile", "resampy", "librosa", "tqdm_stub"):
-        if stub not in sys.modules and stub != "tqdm_stub":
-            sys.modules[stub] = types.ModuleType(stub)
-    sys.modules["librosa"].stft = None
-    sys.modules["librosa"].filters = types.SimpleNamespace(mel=None)
+    # transformers must import BEFORE the librosa stub exists: its import
+    # probe calls importlib.util.find_spec("librosa"), which raises on a
+    # stub module whose __spec__ is None.
+    pytest.importorskip("transformers.audio_utils")
+    import importlib.machinery
+
+    installed = []
+    for stub in ("soundfile", "resampy", "librosa"):
+        if stub not in sys.modules:
+            mod = types.ModuleType(stub)
+            mod.__spec__ = importlib.machinery.ModuleSpec(stub, None)
+            sys.modules[stub] = mod
+            installed.append(stub)
+    # Working primitives (overwrite any empty stub a sibling test installed).
+    sys.modules["librosa"].stft = _shim_stft
+    sys.modules["librosa"].filters = types.SimpleNamespace(mel=_shim_mel)
     sys.path.insert(0, "/root/reference")
     try:
         mod = importlib.import_module("frechet_audio_distance_exported.fad")
     except Exception as e:  # pragma: no cover
         pytest.skip(f"reference package unavailable: {e}")
-    return mod
+    yield mod
+    # Remove the stubs this fixture installed so later tests (and any
+    # later first-import of our package's optional-soundfile probe) see
+    # the environment's true module state. The already-imported reference
+    # module keeps its own references; it is never called again.
+    for stub in installed:
+        sys.modules.pop(stub, None)
+    try:
+        sys.path.remove("/root/reference")
+    except ValueError:
+        pass
+
+
+def _make_ref_fad(reference_fad_module, model_name, sample_rate, channels, model):
+    """Build the reference FAD object the way its own MockFAD test tier does
+    (reference tests/test_basic.py:136-141), with the model injected."""
+    RefFAD = reference_fad_module.FrechetAudioDistance
+    ref = RefFAD.__new__(RefFAD)
+    ref.model_name = model_name
+    ref.sample_rate = sample_rate
+    ref.channels = channels
+    ref.verbose = False
+    ref.device = torch.device("cpu")
+    ref.model = model
+    return ref
 
 
 def _sine(duration, freq, sr=16000):
@@ -38,55 +130,27 @@ def _sine(duration, freq, sr=16000):
     return (np.sin(2 * np.pi * freq * t) * 0.5).astype(np.float32)
 
 
-def test_vggish_full_fad_parity(reference_fad_module):
-    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+def _mix(duration, freq, sr, seed=0):
+    rng = np.random.default_rng(seed)
+    x = _sine(duration, freq, sr) + 0.01 * rng.standard_normal(
+        int(sr * duration)
+    ).astype(np.float32)
+    return np.clip(x, -1.0, 1.0).astype(np.float32)
 
-    # Our framework with random weights.
-    ours = FrechetAudioDistance(model_name="vggish", weights="random", seed=17)
 
-    # The reference's own model class carrying the SAME weights.
-    ref_models = importlib.import_module("frechet_audio_distance_exported.models.vggish")
-    ref_model = ref_models.VGGishCore().eval()
-    params = ours.params
-    with torch.no_grad():
-        conv_i = 0
-        for m in ref_model.features:
-            if isinstance(m, torch.nn.Conv2d):
-                p = params["features"][conv_i]
-                m.weight.copy_(torch.from_numpy(np.asarray(p["w"]).transpose(3, 2, 0, 1).copy()))
-                m.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
-                conv_i += 1
-        lin_i = 0
-        for m in ref_model.embeddings:
-            if isinstance(m, torch.nn.Linear):
-                p = params["embeddings"][lin_i]
-                m.weight.copy_(torch.from_numpy(np.asarray(p["w"]).T.copy()))
-                m.bias.copy_(torch.from_numpy(np.asarray(p["b"])))
-                lin_i += 1
-
-    # The reference FAD object, built like its own MockFAD test tier
-    # (tests/test_basic.py:136-141) with the model injected.
-    RefFAD = reference_fad_module.FrechetAudioDistance
-    ref = RefFAD.__new__(RefFAD)
-    ref.model_name = "vggish"
-    ref.sample_rate = 16000
-    ref.channels = 1
-    ref.verbose = False
-    ref.device = torch.device("cpu")
-    ref.model = ref_model
-
-    background = [_sine(2.0, 440.0 + 7 * i) for i in range(4)]
-    evaluation = [_sine(2.0, 850.0 + 9 * i) for i in range(4)]
-
-    emb_bg_ref = ref.get_embeddings(background, sr=16000)
-    emb_ev_ref = ref.get_embeddings(evaluation, sr=16000)
-    emb_bg_ours = ours.get_embeddings(background, 16000)
-    emb_ev_ours = ours.get_embeddings(evaluation, 16000)
+def _compare_full_fad(ref, ours, background, evaluation, sr, emb_bar):
+    emb_bg_ref = ref.get_embeddings(background, sr=sr)
+    emb_ev_ref = ref.get_embeddings(evaluation, sr=sr)
+    emb_bg_ours = ours.get_embeddings(background, sr)
+    emb_ev_ours = ours.get_embeddings(evaluation, sr)
 
     assert emb_bg_ref.shape == emb_bg_ours.shape
-    emb_diff = np.max(np.abs(emb_bg_ref - emb_bg_ours))
-    # The reference's own embedding-equivalence bar is 1e-4 (verify_export.py:141).
-    assert emb_diff < 1e-3, emb_diff
+    assert emb_ev_ref.shape == emb_ev_ours.shape
+    emb_diff = max(
+        float(np.max(np.abs(emb_bg_ref - emb_bg_ours))),
+        float(np.max(np.abs(emb_ev_ref - emb_ev_ours))),
+    )
+    assert emb_diff < emb_bar, emb_diff
 
     mu1r, s1r = ref.calculate_embd_statistics(emb_bg_ref)
     mu2r, s2r = ref.calculate_embd_statistics(emb_ev_ref)
@@ -96,4 +160,107 @@ def test_vggish_full_fad_parity(reference_fad_module):
     mu2, s2 = ours.calculate_embd_statistics(emb_ev_ours)
     fad_ours = ours.calculate_frechet_distance(mu1, s1, mu2, s2)
 
+    assert np.isfinite(fad_ref) and np.isfinite(fad_ours)
     assert abs(fad_ref - fad_ours) < 1e-3, (fad_ref, fad_ours)
+    return fad_ref, fad_ours, emb_diff
+
+
+def test_vggish_full_fad_parity(reference_fad_module):
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+    ours = FrechetAudioDistance(model_name="vggish", weights="random", seed=17)
+
+    ref_models = importlib.import_module("frechet_audio_distance_exported.models.vggish")
+    ref_model = ref_models.VGGishCore().eval()
+    load_vggish_weights(ref_model, ours.params)
+
+    ref = _make_ref_fad(reference_fad_module, "vggish", 16000, 1, ref_model)
+    background = [_sine(2.0, 440.0 + 7 * i) for i in range(4)]
+    evaluation = [_sine(2.0, 850.0 + 9 * i) for i in range(4)]
+    # The reference's own embedding-equivalence bar is 1e-4 (verify_export.py:141).
+    _compare_full_fad(ref, ours, background, evaluation, 16000, emb_bar=1e-3)
+
+
+def test_pann_full_fad_parity(reference_fad_module):
+    """Reference PANN branch in the loop: its librosa-recipe log-mel +
+    _pad_to_valid_pann_time 32k-24 grid (reference fad.py:372-385, 41-66) +
+    its own PANNCore, on mixed-length files (different padded grids)."""
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+    ours = FrechetAudioDistance(model_name="pann-16k", weights="random", seed=5)
+
+    ref_models = importlib.import_module("frechet_audio_distance_exported.models.pann")
+    ref_model = ref_models.PANNCore().eval()
+    load_pann_weights(ref_model, ours.params)
+
+    ref = _make_ref_fad(reference_fad_module, "pann-16k", 16000, 1, ref_model)
+    background = [_mix(2.0, 440.0 + 7 * i, 16000, seed=i) for i in range(3)]
+    background.append(_mix(1.37, 330.0, 16000, seed=9))  # different time grid
+    evaluation = [_mix(2.0, 850.0 + 9 * i, 16000, seed=10 + i) for i in range(3)]
+    evaluation.append(_mix(1.59, 1200.0, 16000, seed=19))
+    # Embedding bar: the reference's own librosa-vs-torchlibrosa budget is
+    # 1e-2 max (export_pann.py:258); random-init BN amplifies quiet-bin mel
+    # deltas, the final-score bar stays the tight one.
+    _compare_full_fad(ref, ours, background, evaluation, 16000, emb_bar=1e-2)
+
+
+@pytest.mark.parametrize(
+    "model_name,sr,channels,causal",
+    [("encodec-24k", 24000, 1, True), ("encodec-48k", 48000, 2, False)],
+)
+def test_encodec_full_fad_parity(
+    reference_fad_module, tmp_path, model_name, sr, channels, causal
+):
+    """Reference Encodec branch in the loop: preprocess_for_encodec +
+    pad_to_fixed_length(10 s) + trim to samples//320 + transpose (reference
+    fad.py:319-349), against a torch.jit.trace'd SEANet at the fixed 10 s
+    shape — the same artifact form as the published .pt (export_encodec.py:
+    231-277). Our pipeline loads its weights from the SAME artifact via the
+    auto-convert path, so the .pt -> npz extraction is also in the loop."""
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+    from frechet_audio_distance_exported_tpu import registry
+
+    torch.manual_seed(3 if causal else 4)
+    model = SEANetLike(channels, causal).eval()
+    example = torch.randn(1, channels, 10 * sr) * 0.1
+    with torch.no_grad():
+        traced = torch.jit.trace(model, example)
+    artifact = tmp_path / registry.get_model_config(model_name).reference_artifact
+    traced.save(str(artifact))
+
+    ours = FrechetAudioDistance(
+        model_name=model_name, ckpt_dir=str(tmp_path), weights="auto"
+    )
+    ref = _make_ref_fad(reference_fad_module, model_name, sr, channels, traced)
+
+    # Lengths not multiples of 320 samples exercise the frame trim; all mono
+    # input (the reference converts mono->stereo inside preprocess_for_encodec).
+    background = [_mix(1.0, 440.0, sr, seed=1), _mix(0.737, 550.0, sr, seed=2)]
+    evaluation = [_mix(1.0, 880.0, sr, seed=3), _mix(0.521, 990.0, sr, seed=4)]
+    # Embedding rows are raw SEANet activations (~O(1)); 24k passes ~1e-4,
+    # the 48k stereo/GroupNorm variant accumulates slightly more over the
+    # 1500-step LSTM.
+    _compare_full_fad(ref, ours, background, evaluation, sr, emb_bar=5e-3)
+
+
+def test_clap_full_fad_parity(reference_fad_module):
+    """Reference CLAP branch in the loop: pad-waveform-BEFORE-mel +
+    preprocess_for_clap (int16 quantization + 48 kHz log-mel) +
+    _pad_to_clap_time (reference fad.py:351-370, 69-91, models/clap.py:41-80)
+    against a torch-kernel HTSAT forward carrying our params."""
+    from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+
+    ours = FrechetAudioDistance(model_name="clap", weights="random", seed=11)
+    ref = _make_ref_fad(
+        reference_fad_module, "clap", 48000, 1, ClapModuleLike(ours.params)
+    )
+
+    background = [_mix(2.0, 440.0 + 11 * i, 48000, seed=20 + i) for i in range(3)]
+    evaluation = [_mix(3.3, 850.0 + 13 * i, 48000, seed=30 + i) for i in range(3)]
+    # L2-normalized embeddings: absolute deltas are directly comparable.
+    fad_ref, fad_ours, emb_diff = _compare_full_fad(
+        ref, ours, background, evaluation, 48000, emb_bar=1e-3
+    )
+    # CLAP embeddings must be unit-norm from both paths.
+    emb = ours.get_embeddings(background, 48000)
+    np.testing.assert_allclose(np.linalg.norm(emb, axis=1), 1.0, atol=1e-5)

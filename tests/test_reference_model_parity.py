@@ -6,6 +6,7 @@ weights into them, and compares outputs with the JAX forwards. This is the
 strongest hermetic check: any architecture drift from the reference fails
 here, with no replica in between."""
 
+import importlib.machinery
 import importlib.util
 import sys
 import types
@@ -23,7 +24,12 @@ REF = "/root/reference/frechet_audio_distance_exported/models"
 def _load_ref_module(name):
     for stub_name in ("resampy", "librosa"):
         if stub_name not in sys.modules:
-            sys.modules[stub_name] = types.ModuleType(stub_name)
+            mod = types.ModuleType(stub_name)
+            # A real ModuleSpec keeps importlib.util.find_spec() (used by
+            # transformers' librosa availability probe) from raising on the
+            # stub if it outlives this module's tests.
+            mod.__spec__ = importlib.machinery.ModuleSpec(stub_name, None)
+            sys.modules[stub_name] = mod
     try:
         spec = importlib.util.spec_from_file_location(f"ref_{name}", f"{REF}/{name}.py")
         mod = importlib.util.module_from_spec(spec)

@@ -13,6 +13,7 @@ import torch.nn.functional as F  # noqa: E402
 import jax  # noqa: E402
 
 from tools import extract_weights as ew  # noqa: E402
+from torch_replicas import SEANetLike as _SEANetLike  # noqa: E402
 
 
 def _build_torch_vggish():
@@ -121,90 +122,6 @@ def test_pann_pth_roundtrip(tmp_path):
         sd["conv_block1.conv1.weight"].numpy().transpose(2, 3, 1, 0),
     )
     np.testing.assert_allclose(np.asarray(params["bn0"]["var"]), sd["bn0.running_var"].numpy())
-
-
-class _SConv1dLike(nn.Module):
-    """Reproduces encodec's SConv1d(NormConv1d(Conv1d)) state-dict layout."""
-
-    class _NormConv(nn.Module):
-        def __init__(self, cin, cout, k, stride, weight_norm, group_norm):
-            super().__init__()
-            conv = nn.Conv1d(cin, cout, k, stride=stride)
-            if weight_norm:
-                conv = nn.utils.weight_norm(conv)
-            self.conv = conv
-            self.norm = nn.GroupNorm(1, cout) if group_norm else nn.Identity()
-
-        def forward(self, x):
-            return self.norm(self.conv(x))
-
-    def __init__(self, cin, cout, k, stride=1, causal=True):
-        super().__init__()
-        self.kernel = k
-        self.stride = stride
-        self.causal = causal
-        self.conv = self._NormConv(cin, cout, k, stride, weight_norm=causal, group_norm=not causal)
-
-    def forward(self, x):
-        import math
-
-        L = x.shape[-1]
-        p = self.kernel - self.stride
-        n_frames = (L - self.kernel + p) / self.stride + 1
-        ideal = (math.ceil(n_frames) - 1) * self.stride + (self.kernel - p)
-        extra = ideal - L
-        if self.causal:
-            left, right = p, extra
-        else:
-            right = p // 2
-            left, right = p - right, right + extra
-        return self.conv(F.pad(x, (left, right), mode="reflect"))
-
-
-class _ResBlockLike(nn.Module):
-    def __init__(self, dim, causal):
-        super().__init__()
-        self.block = nn.Sequential(
-            nn.ELU(),
-            _SConv1dLike(dim, dim // 2, 3, causal=causal),
-            nn.ELU(),
-            _SConv1dLike(dim // 2, dim, 1, causal=causal),
-        )
-        self.shortcut = _SConv1dLike(dim, dim, 1, causal=causal)
-
-    def forward(self, x):
-        return self.shortcut(x) + self.block(x)
-
-
-class _SLSTMLike(nn.Module):
-    def __init__(self, dim):
-        super().__init__()
-        self.lstm = nn.LSTM(dim, dim, num_layers=2)
-
-    def forward(self, x):
-        x = x.permute(2, 0, 1)
-        y, _ = self.lstm(x)
-        return (y + x).permute(1, 2, 0)
-
-
-class _SEANetLike(nn.Module):
-    def __init__(self, channels, causal):
-        super().__init__()
-        layers = [_SConv1dLike(channels, 32, 7, causal=causal)]
-        mult = 1
-        for ratio in (2, 4, 5, 8):
-            dim = 32 * mult
-            layers += [
-                _ResBlockLike(dim, causal),
-                nn.ELU(),
-                _SConv1dLike(dim, 2 * dim, 2 * ratio, stride=ratio, causal=causal),
-            ]
-            mult *= 2
-        layers += [_SLSTMLike(512), nn.ELU(), _SConv1dLike(512, 128, 7, causal=causal)]
-        self.model = nn.Sequential(*layers)
-
-    def forward(self, x):
-        return self.model(x)
 
 
 @pytest.mark.parametrize("causal,channels", [(True, 1), (False, 2)])
