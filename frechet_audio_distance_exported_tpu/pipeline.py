@@ -69,7 +69,45 @@ def _pack_wave(rows, b: int, length: int, full_scale: float = 32768.0) -> np.nda
 # must fit HBM alone (2^18 frames ~ 2.9 GB at float32 -> ~44 min @ 16 kHz,
 # ~2.3 h @ 32 kHz). The reference's export artifact capped T at 10016 frames
 # (~100 s); beyond our cap we fail loudly instead of OOMing the device.
+# Scaled down by hbm_batch_scale() on smaller-HBM parts (pann_frame_cap).
 PANN_MAX_FRAMES = 1 << 18
+
+# HBM the per-family batch knees below were measured on (v5e, bytes_limit
+# reported 15.75 GiB). Parts with less HBM divide the knees rather than OOM.
+_KNEE_HBM_BYTES = 15 * 2**30
+
+
+def _device_hbm_bytes():
+    """Device 0's allocator bytes_limit, or None when the backend doesn't
+    report one (CPU, some plugin backends)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        return stats.get("bytes_limit")
+    except Exception:
+        return None
+
+
+def hbm_batch_scale() -> int:
+    """Power-of-two divisor for the measured v5e batch knees: 2x per halving
+    of device HBM below the ~15 GiB they were fitted on. The knees bound
+    peak activation footprints that scale linearly with batch (vggish conv1
+    ~4 GB at B=512, encodec-48k 15.7 GB of a 15.75 GB part at B=16), so
+    halving batch per halved HBM preserves the headroom proportions. No-op
+    (1) when the limit is unknown or >= the measurement part's."""
+    limit = _device_hbm_bytes()
+    if not limit or limit >= _KNEE_HBM_BYTES * 0.9:
+        return 1
+    div = 1
+    while limit < _KNEE_HBM_BYTES * 0.9 and div < 16:
+        limit *= 2
+        div *= 2
+    return div
+
+
+def pann_frame_cap() -> int:
+    """PANN single-file frame cap, HBM-scaled (the cap encodes 'block-1
+    activations for ONE file fit alone', which shrinks with HBM)."""
+    return PANN_MAX_FRAMES // hbm_batch_scale()
 
 
 def bucket_len(n: int, minimum: int = 2048) -> int:
@@ -298,6 +336,10 @@ class EmbeddingPipeline:
                 file_batch = 512
             else:
                 file_batch = 32
+            # Graceful degradation on smaller-HBM parts: the knees above are
+            # v5e-fitted; divide them 2x per halving of reported HBM
+            # (explicit file_batch= arguments are the user's responsibility).
+            file_batch = max(1, file_batch // hbm_batch_scale())
         self.file_batch = file_batch
         self.mesh = None
         self._min_batch = 1
@@ -726,10 +768,11 @@ class EmbeddingPipeline:
                 raise ValueError(
                     f"Audio too short for PANN (grid {fe.pann_valid_time(t_i)} < 40 frames)"
                 )
-            if t_i > PANN_MAX_FRAMES:
+            frame_cap = pann_frame_cap()
+            if t_i > frame_cap:
                 raise ValueError(
                     f"Audio too long for PANN ({t_i} log-mel frames > "
-                    f"{PANN_MAX_FRAMES}): a single file's activations would "
+                    f"{frame_cap}): a single file's activations would "
                     f"exceed device memory. Split the file (PANN embeds one "
                     f"row per file, so scoring chunks separately changes the "
                     f"statistics rows, like the reference's >100 s guidance)."
