@@ -117,3 +117,34 @@ class TestEnableGate:
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         params = enc.init_encodec_params(jax.random.PRNGKey(0))
         assert not enc._fused_enabled(params)
+
+
+def test_fused_encoder_under_shard_map_matches_unsharded():
+    """The pipeline shard_maps the whole frontend+model core under a mesh, so
+    the fused conv-stage kernels must run per-shard. Lock pallas_call (interpret)
+    + shard_map for the encodec kernels like test_pallas_frontend does for the
+    frontend: 8-device CPU mesh, batch-sharded input. Not bitwise (unlike the
+    pure-Pallas frontend test): the strided down convs between kernels are XLA
+    convs, and CPU XLA vectorizes them differently at per-shard batch 1 vs 8
+    (measured 3.6e-6 on scale 4.6) — same float-level class as the exactness
+    bar above."""
+    from jax.sharding import PartitionSpec as P
+
+    from frechet_audio_distance_exported_tpu.parallel.embed import shard_map
+    from frechet_audio_distance_exported_tpu.parallel.mesh import DATA_AXIS, data_mesh
+
+    params = enc.init_encodec_params(jax.random.PRNGKey(0), causal=False, channels=2)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 3200, 2), jnp.float32) * 0.3
+    ref = np.asarray(enc._encoder_fused(params, x, causal=False, interpret=True))
+
+    mesh = data_mesh(jax.devices("cpu")[:8])
+    sharded = shard_map(
+        lambda p, w: enc._encoder_fused(p, w, causal=False, interpret=True),
+        mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        check_vma=False,  # pallas_call-bearing body (see pipeline._mesh_wrap)
+    )
+    out = np.asarray(jax.jit(sharded)(params, x))
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(out, ref, atol=5e-5 * scale, rtol=0)
