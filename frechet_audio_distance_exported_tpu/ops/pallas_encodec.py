@@ -96,17 +96,38 @@ def _row_fix(rows: jnp.ndarray, fixes):
     return rows
 
 
+def _reflect_idx(i: int, T: int) -> int:
+    """NumPy 'reflect' (no edge repeat) index for any out-of-range i. The
+    multi-bounce case (|i| >= T) only arises at tiny T where the whole
+    tensor is one grid cell, so the source row is always in-block."""
+    if T == 1:
+        return 0
+    period = 2 * T - 2
+    i = i % period
+    return i if i < T else period - i
+
+
 def _reflect_fixed(rows, t, n_t, left: int, right: int, T: int, tile: int):
     """Apply front/back reflect fixes to a halo block (store layout).
 
     Front (cell 0): x[-q] := x[q]  -> local FP-q := FP+q, q in [1, left].
     Back (cell n_t-1): x[T-1+q] := x[T-1-q], q in [1, right]; local of x[u]
     in the last cell is u - (n_t-1)*tile + FP.
+
+    When the last cell holds fewer than `right` valid rows (t_loc <= right-1,
+    e.g. T = k*tile + 1 under the non-causal k=7 conv's right=3), the
+    PENULTIMATE cell's tap reads reach past T into the reflect region too —
+    it gets the same fixes at local offsets shifted by one tile. Reflect
+    commutes with the per-(sample, channel) affine/ELU prologs, so fixing
+    after them is exact. (Shipped 10 s buckets divide their tiles exactly
+    and never take this branch; arbitrary-length audio does.)
     """
-    front = [(FP - q, FP + q) for q in range(1, left + 1)]
+    front = [(FP - q, FP + _reflect_idx(-q, T)) for q in range(1, left + 1)]
     t_loc = T - (n_t - 1) * tile  # valid rows in the last cell (1..tile)
+    base = (n_t - 1) * tile
     back = [
-        (FP + t_loc - 1 + q, FP + t_loc - 1 - q) for q in range(1, right + 1)
+        (FP + t_loc - 1 + q, FP + _reflect_idx(T - 1 + q, T) - base)
+        for q in range(1, right + 1)
     ]
     if front:
         rows = jax.lax.cond(t == 0, lambda r: _row_fix(r, front), lambda r: r, rows)
@@ -114,6 +135,11 @@ def _reflect_fixed(rows, t, n_t, left: int, right: int, T: int, tile: int):
         rows = jax.lax.cond(
             t == n_t - 1, lambda r: _row_fix(r, back), lambda r: r, rows
         )
+        if n_t >= 2 and t_loc <= right - 1:
+            back_prev = [(dst + tile, src + tile) for dst, src in back]
+            rows = jax.lax.cond(
+                t == n_t - 2, lambda r: _row_fix(r, back_prev), lambda r: r, rows
+            )
     return rows
 
 

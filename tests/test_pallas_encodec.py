@@ -56,6 +56,22 @@ class TestFusedEncoderExactness:
         scale = max(np.abs(ref).max(), 1.0)
         np.testing.assert_allclose(got, ref, atol=5e-5 * scale, rtol=0)
 
+    @pytest.mark.parametrize("causal,channels", [(True, 1), (False, 2)])
+    def test_one_valid_row_in_last_cell(self, monkeypatch, causal, channels):
+        """T = tile*k + 1: the back reflect fix in the last cell reads its
+        source rows from the halo (previous cell's data), t_loc = 1."""
+        monkeypatch.setattr(enc, "_tile_for", lambda T, channels: 64)
+        params = enc.init_encodec_params(
+            jax.random.PRNGKey(4), causal=causal, channels=channels
+        )
+        T = 64 * 50 + 1  # 3201: last conv-stage cells keep odd tails throughout
+        x = jax.random.normal(jax.random.PRNGKey(5), (1, T, channels), jnp.float32) * 0.3
+        ref = np.asarray(_xla_stages(params, x, causal))
+        got = np.asarray(enc._encoder_fused(params, x, causal, interpret=True))
+        assert got.shape == ref.shape
+        scale = max(np.abs(ref).max(), 1.0)
+        np.testing.assert_allclose(got, ref, atol=5e-5 * scale, rtol=0)
+
 
 class TestStoreLayout:
     def test_round_trip(self):
