@@ -194,11 +194,16 @@ def _fused_precision():
     closest (more exact, not less — measured on the fused frontends)."""
     import os
 
-    name = os.environ.get("FAD_TPU_FUSED_ENCODEC_PRECISION", "highest").lower()
-    return {
+    name = os.environ.get("FAD_TPU_FUSED_ENCODEC_PRECISION", "highest").strip().lower()
+    table = {
         "highest": jax.lax.Precision.HIGHEST,
         "default": jax.lax.Precision.DEFAULT,
-    }[name]
+    }
+    if name not in table:
+        raise ValueError(
+            f"FAD_TPU_FUSED_ENCODEC_PRECISION={name!r}: expected 'highest' or 'default'"
+        )
+    return table[name]
 
 
 def _fused_enabled(params) -> bool:
@@ -211,6 +216,10 @@ def _fused_enabled(params) -> bool:
     import os
 
     flag = os.environ.get("FAD_TPU_FUSED_ENCODEC", "auto").strip().lower()
+    if flag not in ("0", "off", "false", "1", "on", "force", "auto"):
+        raise ValueError(
+            f"FAD_TPU_FUSED_ENCODEC={flag!r}: expected 0/off/false, 1/on/force, or auto"
+        )
     if flag in ("0", "off", "false"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):

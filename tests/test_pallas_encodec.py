@@ -164,3 +164,16 @@ def test_fused_encoder_under_shard_map_matches_unsharded():
     out = np.asarray(jax.jit(sharded)(params, x))
     scale = max(np.abs(ref).max(), 1.0)
     np.testing.assert_allclose(out, ref, atol=5e-5 * scale, rtol=0)
+
+
+def test_gate_typo_rejected(monkeypatch):
+    monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC", "yes-please")
+    params = enc.init_encodec_params(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="FAD_TPU_FUSED_ENCODEC"):
+        enc._fused_enabled(params)
+
+
+def test_precision_typo_rejected(monkeypatch):
+    monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC_PRECISION", "high")
+    with pytest.raises(ValueError, match="FAD_TPU_FUSED_ENCODEC_PRECISION"):
+        enc._fused_precision()
