@@ -223,7 +223,12 @@ def _fused_enabled(params) -> bool:
     if flag in ("0", "off", "false"):
         return False
     if jax.default_backend() not in ("tpu", "axon"):
-        return flag in ("1", "on", "force")  # explicit-only off-TPU (tests)
+        # Explicit-only off-TPU (encodec_forward then runs the kernels in
+        # interpret mode — Mosaic can't lower on CPU); same f32 guard.
+        return (
+            flag in ("1", "on", "force")
+            and params["conv_in"]["w"].dtype == jnp.float32
+        )
     if config.exactness_forced() and flag == "auto":
         return False
     # NOTE: default still OFF pending the interleaved hardware A/B
@@ -362,7 +367,11 @@ def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.nd
     x = x.astype(params["conv_in"]["w"].dtype)
     h = jnp.swapaxes(x, 1, 2)  # NWC
     if _fused_enabled(params):
-        h = _encoder_fused(params, h, causal)
+        # Off-TPU (explicit opt-in only) the kernels run in interpret mode.
+        h = _encoder_fused(
+            params, h, causal,
+            interpret=jax.default_backend() not in ("tpu", "axon"),
+        )
     else:
         h = _sconv(params["conv_in"], h, kernel=7, stride=1, causal=causal)
         for ratio, stage in zip(RATIOS, params["stages"]):

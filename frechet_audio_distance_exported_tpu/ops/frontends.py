@@ -226,11 +226,20 @@ def _resolve_frontend(impl: str) -> str:
         return impl
     if impl != "auto":
         raise ValueError(f"impl must be 'auto', 'pallas' or 'xla', got {impl!r}")
-    if os.environ.get("FAD_TPU_FUSED_FRONTEND", "1").strip().lower() in (
-        "0", "false", "off", "no",
+    val = os.environ.get("FAD_TPU_FUSED_FRONTEND")
+    val = val.strip().lower() if val is not None else None
+    if val is not None and val not in (
+        "0", "false", "off", "no", "1", "true", "on", "yes", "force",
     ):
+        raise ValueError(
+            f"FAD_TPU_FUSED_FRONTEND={val!r}: expected 0/false/off/no or 1/true/on/yes/force"
+        )
+    if val in ("0", "false", "off", "no"):
         return "xla"
-    if exactness_forced():
+    # An EXPLICIT opt-in beats the exactness force (same precedence as
+    # FAD_TPU_FUSED_ENCODEC); only the unset default falls back to 'xla'
+    # under FAD_TPU_PRECISION=highest / forced float32.
+    if val is None and exactness_forced():
         return "xla"
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 

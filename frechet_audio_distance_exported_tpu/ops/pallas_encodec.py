@@ -175,7 +175,7 @@ def _affine_prolog(rows, scale_ref, shift_ref):
     return rows * scale_ref[0] + shift_ref[0]
 
 
-def _grid_specs(B, T, tile, C_in, store_w):
+def _grid_specs(T, tile, C_in):
     from jax.experimental import pallas as pl
 
     n_t = -(-T // tile)
@@ -189,22 +189,26 @@ def _grid_specs(B, T, tile, C_in, store_w):
     return n_t, in_spec, aff_spec
 
 
-def _out_specs(T, tile, C_out, gn: bool):
+def _store_out_spec(tile: int, C: int):
+    """Element out-spec writing grid cell t at store rows [FP + t*tile, ...).
+
+    NOTE: the start MUST stay in this mul-by-8 form — Mosaic's divisibility
+    prover accepts 8*(1 + t*(tile//8)) but crashes (remote-compile HTTP 500)
+    on the arithmetically equal FP + t*tile (probed:
+    scripts/exp_mosaic_probe_r4c.py). FP == 8 == one sublane tile.
+    """
     from jax.experimental import pallas as pl
 
-    t_pad = -(-T // tile) * tile
-    # NOTE: the start must be written as 8*(...) — Mosaic's divisibility
-    # prover accepts mul-by-8 forms but crashes on the equivalent
-    # FP + t*tile (probed: scripts/exp_mosaic_probe_r4c.py).
-    y_spec = pl.BlockSpec(
-        (pl.Element(1), pl.Element(tile), pl.Element(C_out)),
-        lambda b, t: (b, (FP // 8) * 8 * (1 + t * (tile // 8)), 0),
+    return pl.BlockSpec(
+        (pl.Element(1), pl.Element(tile), pl.Element(C)),
+        lambda b, t: (b, FP * (1 + t * (tile // 8)), 0),
     )
-    specs, shapes = [y_spec], [(FP + t_pad + _BACK, C_out)]
-    if gn:
-        specs.append(pl.BlockSpec((1, 1, 2 * C_out), lambda b, t: (b, 0, 0)))
-        shapes.append(None)  # sums shape handled by caller
-    return specs, shapes
+
+
+def _sums_spec(C: int):
+    from jax.experimental import pallas as pl
+
+    return pl.BlockSpec((1, 1, 2 * C), lambda b, t: (b, 0, 0))
 
 
 @functools.partial(
@@ -246,7 +250,7 @@ def fused_sconv(
     C_out = w.shape[-1]
     assert store_w == store_width(T, tile), (store_w, store_width(T, tile))
     assert left <= FP and right <= _BACK - (k - 1 - left), (left, right, k)
-    n_t, in_spec, aff_spec = _grid_specs(B, T, tile, C_in, store_w)
+    n_t, in_spec, aff_spec = _grid_specs(T, tile, C_in)
     t_pad = n_t * tile
 
     def kernel(*refs):
@@ -279,16 +283,17 @@ def fused_sconv(
     if scale is not None:
         in_specs += [aff_spec, aff_spec]
         args += [scale, shift]
-    out_specs, _ = _out_specs(T, tile, C_out, gn)
+    out_specs = [_store_out_spec(tile, C_out)]
     out_shape = [jax.ShapeDtypeStruct((B, FP + t_pad + _BACK, C_out), jnp.float32)]
     if gn:
+        out_specs.append(_sums_spec(C_out))
         out_shape.append(jax.ShapeDtypeStruct((B, 1, 2 * C_out), jnp.float32))
     res = pl.pallas_call(
         kernel,
         grid=(B, n_t),
         in_specs=in_specs,
-        out_specs=out_specs if gn else out_specs[:1],
-        out_shape=out_shape if gn else out_shape[:1],
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
     if gn:
@@ -333,7 +338,7 @@ def fused_res_front(
     C_half = w1.shape[-1]
     C_s = ws.shape[-1]
     assert store_w == store_width(T, tile)
-    n_t, in_spec, aff_spec = _grid_specs(B, T, tile, C, store_w)
+    n_t, in_spec, aff_spec = _grid_specs(T, tile, C)
     t_pad = n_t * tile
 
     def kernel(*refs):
@@ -384,25 +389,13 @@ def fused_res_front(
     if scale is not None:
         in_specs += [aff_spec, aff_spec]
         args += [scale, shift]
-    # mul-by-8 start form for the divisibility prover (see _out_specs).
-    h1_spec = pl.BlockSpec(
-        (pl.Element(1), pl.Element(tile), pl.Element(C_half)),
-        lambda b, t: (b, 8 * (1 + t * (tile // 8)), 0),
-    )
-    hs_spec = pl.BlockSpec(
-        (pl.Element(1), pl.Element(tile), pl.Element(C_s)),
-        lambda b, t: (b, 8 * (1 + t * (tile // 8)), 0),
-    )
-    out_specs = [h1_spec, hs_spec]
+    out_specs = [_store_out_spec(tile, C_half), _store_out_spec(tile, C_s)]
     out_shape = [
         jax.ShapeDtypeStruct((B, FP + t_pad + _BACK, C_half), jnp.float32),
         jax.ShapeDtypeStruct((B, FP + t_pad + _BACK, C_s), jnp.float32),
     ]
     if gn:
-        out_specs += [
-            pl.BlockSpec((1, 1, 2 * C_half), lambda b, t: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 2 * C_s), lambda b, t: (b, 0, 0)),
-        ]
+        out_specs += [_sums_spec(C_half), _sums_spec(C_s)]
         out_shape += [
             jax.ShapeDtypeStruct((B, 1, 2 * C_half), jnp.float32),
             jax.ShapeDtypeStruct((B, 1, 2 * C_s), jnp.float32),

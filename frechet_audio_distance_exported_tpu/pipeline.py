@@ -87,13 +87,16 @@ def _device_hbm_bytes():
         return None
 
 
+@functools.lru_cache(maxsize=1)
 def hbm_batch_scale() -> int:
     """Power-of-two divisor for the measured v5e batch knees: 2x per halving
     of device HBM below the ~15 GiB they were fitted on. The knees bound
     peak activation footprints that scale linearly with batch (vggish conv1
     ~4 GB at B=512, encodec-48k 15.7 GB of a 15.75 GB part at B=16), so
     halving batch per halved HBM preserves the headroom proportions. No-op
-    (1) when the limit is unknown or >= the measurement part's."""
+    (1) when the limit is unknown or >= the measurement part's. Cached:
+    device HBM cannot change within a process, and memory_stats() is a
+    backend round-trip (per-file cost in the PANN prep path otherwise)."""
     limit = _device_hbm_bytes()
     if not limit or limit >= _KNEE_HBM_BYTES * 0.9:
         return 1

@@ -83,6 +83,14 @@ def _set_env(env):
     for k in ("FAD_TPU_PRECISION", "FAD_TPU_MODEL_DTYPE", "FAD_TPU_LSTM_MATMUL"):
         os.environ.pop(k, None)
     os.environ.update(env)
+    # The env-dependent branches (_resolve_frontend, matmul_precision,
+    # single_matmul) resolve at TRACE time inside module-level jits, and a
+    # later mode's calls with identical avals+statics would hit the stale
+    # cached trace — 'shipped' would silently rerun the exact-mode kernels
+    # (code-review r4 finding). Force retracing on every mode switch.
+    import jax
+
+    jax.clear_caches()
 
 
 def _fads_for_mode(family, env, sr):

@@ -1,18 +1,23 @@
 #!/bin/bash
 # Retry a TPU script until the axon tunnel is reachable (backend init no
 # longer raises Unavailable). Usage: tpu_retry.sh <log> <cmd...>
+# Each attempt's output goes to its own temp file first, so a stale
+# backend-init marker from a previous attempt/invocation can never
+# misclassify an unrelated failure as retryable.
 LOG="$1"; shift
 for i in $(seq 1 60); do
+  ATT=$(mktemp)
   echo "=== attempt $i $(date -u +%H:%M:%S)" >> "$LOG"
-  "$@" >> "$LOG" 2>&1
+  "$@" > "$ATT" 2>&1
   rc=$?
-  if [ $rc -eq 0 ]; then echo "=== SUCCESS rc=0" >> "$LOG"; exit 0; fi
-  if ! grep -q "Unable to initialize backend" "$LOG"; then
+  cat "$ATT" >> "$LOG"
+  if [ $rc -eq 0 ]; then rm -f "$ATT"; echo "=== SUCCESS rc=0" >> "$LOG"; exit 0; fi
+  if ! grep -q "Unable to initialize backend" "$ATT"; then
+    rm -f "$ATT"
     echo "=== FAILED rc=$rc (not a backend-init error; stopping)" >> "$LOG"
     exit $rc
   fi
-  # backend-unavailable: clear the marker so the next grep is fresh, wait
-  sed -i 's/Unable to initialize backend/UNAVAILABLE-RETRIED backend/' "$LOG"
+  rm -f "$ATT"
   sleep 240
 done
 echo "=== gave up after 60 attempts" >> "$LOG"

@@ -52,6 +52,16 @@ class TestHBMScale:
     """hbm_batch_scale: the v5e-fitted batch knees divide 2x per halving of
     reported HBM (VERDICT r3 weak #7 — no graceful degradation before)."""
 
+    @pytest.fixture(autouse=True)
+    def _fresh_cache(self):
+        # hbm_batch_scale is lru_cached (memory_stats is a backend RPC);
+        # clear around each monkeypatched probe.
+        from frechet_audio_distance_exported_tpu import pipeline as pl
+
+        pl.hbm_batch_scale.cache_clear()
+        yield
+        pl.hbm_batch_scale.cache_clear()
+
     def test_noop_without_limit(self, monkeypatch):
         from frechet_audio_distance_exported_tpu import pipeline as pl
 

@@ -152,3 +152,23 @@ def test_resolve_frontend_modes():
 def test_env_off_switch(monkeypatch):
     monkeypatch.setenv("FAD_TPU_FUSED_FRONTEND", "0")
     assert fe._resolve_frontend("auto") == "xla"
+
+
+def test_env_typo_rejected(monkeypatch):
+    monkeypatch.setenv("FAD_TPU_FUSED_FRONTEND", "fused-please")
+    with pytest.raises(ValueError, match="FAD_TPU_FUSED_FRONTEND"):
+        fe._resolve_frontend("auto")
+
+
+def test_explicit_on_beats_exactness_force(monkeypatch):
+    """Same precedence as FAD_TPU_FUSED_ENCODEC: an explicit opt-in wins over
+    the exactness force; only the UNSET default reverts to 'xla' under it
+    (code-review r4 finding)."""
+    import jax as _jax
+
+    monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("FAD_TPU_FUSED_FRONTEND", raising=False)
+    assert fe._resolve_frontend("auto") == "xla"
+    monkeypatch.setenv("FAD_TPU_FUSED_FRONTEND", "1")
+    assert fe._resolve_frontend("auto") == "pallas"
