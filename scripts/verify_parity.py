@@ -332,7 +332,24 @@ def main():
             for chk, c in checks.items()
             if c["status"] == "SKIP"
         )
+        import datetime
+        import subprocess
+
+        try:
+            commit = subprocess.run(
+                ["git", "rev-parse", "--short", "HEAD"],
+                capture_output=True, text=True, timeout=10,
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            ).stdout.strip() or None
+        except Exception:
+            commit = None
         payload = {
+            # Provenance (VERDICT r3 weak #5: the file must be regenerated
+            # per round and say when/how it was produced).
+            "generated_utc": datetime.datetime.now(datetime.timezone.utc)
+                .isoformat(timespec="seconds"),
+            "command": " ".join(sys.argv),
+            "commit": commit,
             "overall": ("FAIL" if "FAIL" in statuses
                         else "PASS" if statuses and "SKIP" not in statuses
                         else "PARTIAL"),
