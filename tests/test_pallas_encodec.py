@@ -177,3 +177,20 @@ def test_precision_typo_rejected(monkeypatch):
     monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC_PRECISION", "high")
     with pytest.raises(ValueError, match="FAD_TPU_FUSED_ENCODEC_PRECISION"):
         enc._fused_precision()
+
+
+def test_forward_env_gate_routes_interpret(monkeypatch):
+    """encodec_forward with FAD_TPU_FUSED_ENCODEC=1 off-TPU runs the fused
+    path in interpret mode (full wiring: gate -> _encoder_fused -> LSTM tail)
+    and matches the XLA path."""
+    monkeypatch.setattr(enc, "_tile_for", lambda T, channels: 64)
+    params = enc.init_encodec_params(jax.random.PRNGKey(6), causal=False, channels=2)
+    x = jax.random.normal(jax.random.PRNGKey(7), (2, 2, 3200), jnp.float32) * 0.3
+
+    monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC", "0")
+    ref = np.asarray(enc.encodec_forward(params, x, causal=False))
+    monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC", "1")
+    got = np.asarray(enc.encodec_forward(params, x, causal=False))
+    assert got.shape == ref.shape
+    scale = max(np.abs(ref).max(), 1.0)
+    np.testing.assert_allclose(got, ref, atol=5e-5 * scale, rtol=0)
