@@ -206,6 +206,19 @@ def _fused_precision():
     return table[name]
 
 
+def _conv_weights_all_f32(params) -> bool:
+    """True iff EVERY conv weight the fused path consumes is float32 —
+    conv_in plus each stage's res conv1/conv2/shortcut and down conv.
+    Gating on conv_in alone would admit a pytree with f32 conv_in but bf16
+    stage weights and run mixed-dtype kernel dots instead of the measured
+    XLA mixed path (advisor r4)."""
+    ws = [params["conv_in"]["w"]]
+    for stage in params["stages"]:
+        res = stage["res"]
+        ws += [res["conv1"]["w"], res["conv2"]["w"], res["shortcut"]["w"], stage["down"]["w"]]
+    return all(w.dtype == jnp.float32 for w in ws)
+
+
 def _fused_enabled(params) -> bool:
     """Trace-time gate for the fused conv-stage path: TPU backend, float32
     conv weights (the mixed/bf16 opt-ins keep the XLA path for now), not
@@ -225,10 +238,7 @@ def _fused_enabled(params) -> bool:
     if jax.default_backend() not in ("tpu", "axon"):
         # Explicit-only off-TPU (encodec_forward then runs the kernels in
         # interpret mode — Mosaic can't lower on CPU); same f32 guard.
-        return (
-            flag in ("1", "on", "force")
-            and params["conv_in"]["w"].dtype == jnp.float32
-        )
+        return flag in ("1", "on", "force") and _conv_weights_all_f32(params)
     if config.exactness_forced() and flag == "auto":
         return False
     # NOTE: default still OFF pending the interleaved hardware A/B
@@ -237,7 +247,7 @@ def _fused_enabled(params) -> bool:
     # >=1.2x on the conv-stage slice. Flip 'auto' to True once recorded.
     if flag == "auto":
         return False
-    return params["conv_in"]["w"].dtype == jnp.float32
+    return _conv_weights_all_f32(params)
 
 
 def _res_block(p: dict, x: jnp.ndarray, causal: bool) -> jnp.ndarray:

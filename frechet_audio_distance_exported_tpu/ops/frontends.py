@@ -136,7 +136,6 @@ def dequant_i16(wave: jnp.ndarray, full_scale: float = 32768.0) -> jnp.ndarray:
     return wave
 
 
-@functools.partial(jax.jit, static_argnames=("num_frames", "impl"))
 def vggish_logmel_batch(
     wave: jnp.ndarray, num_frames: int, impl: str = "xla"
 ) -> jnp.ndarray:
@@ -147,9 +146,32 @@ def vggish_logmel_batch(
     two MXU matmuls. Frames are the uncentered 400/160 grid; rows beyond a
     file's true frame count are defined but must be masked by the caller.
     ``impl`` selects the fused Pallas kernel like pann_logmel_batch's.
+
+    The env knobs (FAD_TPU_FUSED_FRONTEND / FAD_TPU_PRECISION /
+    FAD_TPU_MODEL_DTYPE) are resolved HERE, at call time, and folded into
+    the jit key as statics — flipping them mid-process retraces instead of
+    silently reusing a stale traced branch (advisor r4). Called inside an
+    outer jit (e.g. the pipeline core), resolution happens at that trace's
+    build time, as before.
     """
+    return _vggish_logmel_jit(
+        wave, num_frames, _resolve_frontend(impl),
+        impl == "auto" and not exactness_forced(), matmul_precision(),
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_frames", "resolved", "single_matmul", "precision")
+)
+def _vggish_logmel_jit(
+    wave: jnp.ndarray,
+    num_frames: int,
+    resolved: str,
+    single_matmul: bool,
+    precision,
+) -> jnp.ndarray:
     wave = dequant_i16(wave)
-    if _resolve_frontend(impl) == "pallas":
+    if resolved == "pallas":
         from .pallas_frontend import fused_vggish_logmel
 
         return fused_vggish_logmel(wave, num_frames)
@@ -171,13 +193,12 @@ def vggish_logmel_batch(
     # the pre-existing chunk-sum accumulation order (ADVICE r3).
     mag = dsp.stft_magnitude_strided(
         wave, num_frames, VGGISH_WINDOW, VGGISH_FFT, VGGISH_HOP,
-        single_matmul=(impl == "auto" and not exactness_forced()),
+        single_matmul=single_matmul,
     )
-    mel = jnp.matmul(mag, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
+    mel = jnp.matmul(mag, mel_mat, preferred_element_type=jnp.float32, precision=precision)
     return jnp.log(mel + VGGISH_LOG_OFFSET)
 
 
-@functools.partial(jax.jit, static_argnames=("num_patches", "impl"))
 def vggish_patches_batch(
     wave: jnp.ndarray, num_patches: int, impl: str = "xla"
 ) -> jnp.ndarray:
@@ -244,9 +265,6 @@ def _resolve_frontend(impl: str) -> str:
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"
 
 
-@functools.partial(
-    jax.jit, static_argnames=("target_sample_rate", "num_frames", "i16_full_scale", "impl")
-)
 def pann_logmel_batch(
     padded_wave: jnp.ndarray,
     target_sample_rate: int,
@@ -267,10 +285,33 @@ def pann_logmel_batch(
 
     ``impl`` ('xla' | 'pallas' | 'auto', see _resolve_frontend) selects the
     fused Pallas kernel for the device compute path; 'xla' is the exact
-    default every host-facing caller uses.
+    default every host-facing caller uses. Like vggish_logmel_batch, the env
+    knobs are resolved at call time and keyed into the jit as statics, so
+    mid-process mode flips retrace (advisor r4).
     """
+    return _pann_logmel_jit(
+        padded_wave, target_sample_rate, num_frames, n_valid_frames,
+        i16_full_scale, _resolve_frontend(impl), matmul_precision(),
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "target_sample_rate", "num_frames", "i16_full_scale", "resolved", "precision",
+    ),
+)
+def _pann_logmel_jit(
+    padded_wave: jnp.ndarray,
+    target_sample_rate: int,
+    num_frames: int,
+    n_valid_frames: Optional[jnp.ndarray],
+    i16_full_scale: float,
+    resolved: str,
+    precision,
+) -> jnp.ndarray:
     padded_wave = dequant_i16(padded_wave, i16_full_scale)
-    if _resolve_frontend(impl) == "pallas":
+    if resolved == "pallas":
         from .pallas_frontend import fused_pann_logmel
 
         nv = (
@@ -287,7 +328,7 @@ def pann_logmel_batch(
         dsp.slaney_mel_matrix(target_sample_rate, n_fft, cfg["mel_bins"], cfg["fmin"], cfg["fmax"])
     )
     power = dsp.stft_power_strided(padded_wave, num_frames, n_fft, n_fft, hop)
-    mel = jnp.matmul(power, mel_mat, preferred_element_type=jnp.float32, precision=matmul_precision())
+    mel = jnp.matmul(power, mel_mat, preferred_element_type=jnp.float32, precision=precision)
     log_mel = 10.0 * jnp.log10(jnp.maximum(mel, 1e-10))
     if n_valid_frames is not None:
         frame_ids = jnp.arange(num_frames)[None, :, None]

@@ -12,7 +12,9 @@ for i in $(seq 1 60); do
   rc=$?
   cat "$ATT" >> "$LOG"
   if [ $rc -eq 0 ]; then rm -f "$ATT"; echo "=== SUCCESS rc=0" >> "$LOG"; exit 0; fi
-  if ! grep -q "Unable to initialize backend" "$ATT"; then
+  # Retryable only when the FINAL traceback is the backend-init failure —
+  # a tolerated child probe printing the string mid-run must not loop us.
+  if ! tail -n 20 "$ATT" | grep -q "Unable to initialize backend"; then
     rm -f "$ATT"
     echo "=== FAILED rc=$rc (not a backend-init error; stopping)" >> "$LOG"
     exit $rc

@@ -160,3 +160,46 @@ class TestReviewRegressions:
         )
         tail = np.asarray(mel[0, n_valid:])
         np.testing.assert_array_equal(tail, 0.0)
+
+
+class TestModeFlipRetrace:
+    """Advisor r4: env-knob flips must retrace the frontend jits, not reuse a
+    stale traced branch. The knobs are resolved at call time in the public
+    wrappers and folded into the jit key as statics."""
+
+    def test_vggish_auto_retraces_on_precision_flip(self, monkeypatch):
+        import jax.numpy as jnp
+        from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+        rng = np.random.default_rng(0)
+        wave = jnp.asarray(rng.standard_normal((1, 16000)).astype(np.float32))
+        monkeypatch.delenv("FAD_TPU_PRECISION", raising=False)
+        monkeypatch.delenv("FAD_TPU_MODEL_DTYPE", raising=False)
+        fast = np.asarray(fe.vggish_logmel_batch(wave, 98, impl="auto"))
+        # Flip to the exactness force mid-process: the SAME call signature
+        # must now take the chunk-sum branch (single_matmul off). The two
+        # accumulation orders differ in float32, so identical output would
+        # mean the stale 'fast' trace was reused.
+        monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+        exact = np.asarray(fe.vggish_logmel_batch(wave, 98, impl="auto"))
+        explicit = np.asarray(fe.vggish_logmel_batch(wave, 98, impl="xla"))
+        assert np.any(fast != exact), "precision flip reused the stale trace"
+        np.testing.assert_allclose(exact, explicit, rtol=0, atol=0)
+
+    def test_pann_precision_flip_retraces(self, monkeypatch):
+        import jax.numpy as jnp
+        from frechet_audio_distance_exported_tpu.ops import frontends as fe
+
+        rng = np.random.default_rng(1)
+        audio = rng.standard_normal(16000).astype(np.float32)
+        padded = jnp.asarray(fe.reflect_pad_host(audio, 512))[None]
+        n = fe.pann_num_frames(16000, 160)
+        monkeypatch.delenv("FAD_TPU_PRECISION", raising=False)
+        base = np.asarray(fe.pann_logmel_batch(padded, 16000, n))
+        # HIGHEST-precision matmuls differ from HIGH in f32 on CPU too
+        # (different contraction path); a bitwise-equal result would mean
+        # the flip did not retrace. Guard with a sanity check that the two
+        # precisions agree loosely.
+        monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+        hi = np.asarray(fe.pann_logmel_batch(padded, 16000, n))
+        np.testing.assert_allclose(base, hi, atol=1e-3)

@@ -127,6 +127,26 @@ class TestEnableGate:
         )
         assert not enc._fused_enabled(params_bf16)
 
+    def test_mixed_pytree_rejected(self, monkeypatch):
+        """f32 conv_in + bf16 stage weights must NOT pass the gate — the
+        fused kernels would run mixed-dtype dots instead of the measured
+        XLA mixed path (advisor r4)."""
+        monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC", "1")
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        params = enc.init_encodec_params(jax.random.PRNGKey(0))
+        assert enc._fused_enabled(params)
+        params["stages"][1]["res"]["conv1"]["w"] = params["stages"][1]["res"][
+            "conv1"
+        ]["w"].astype(jnp.bfloat16)
+        assert not enc._fused_enabled(params)
+        params["stages"][1]["res"]["conv1"]["w"] = params["stages"][1]["res"][
+            "conv1"
+        ]["w"].astype(jnp.float32)
+        params["stages"][3]["down"]["w"] = params["stages"][3]["down"]["w"].astype(
+            jnp.bfloat16
+        )
+        assert not enc._fused_enabled(params)
+
     def test_exactness_force_reverts(self, monkeypatch):
         monkeypatch.setenv("FAD_TPU_FUSED_ENCODEC", "auto")
         monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
