@@ -73,183 +73,6 @@ def _sconv(p: dict, x: jnp.ndarray, kernel: int, stride: int, causal: bool) -> j
     return y
 
 
-# ---------------------------------------------------------------------------
-# Fused Pallas conv-stage path (ops/pallas_encodec.py holds the kernels)
-# ---------------------------------------------------------------------------
-
-
-def _tile_for(T: int, channels) -> int:
-    """Time-tile for the fused kernels. VMEM blocks pad their lane dim to
-    128, so the budget counts max(C, 128) per coexisting buffer (inputs +
-    outputs of the widest kernel sharing the tile), double-buffered, against
-    an ~8 MB share of the 16 MB scoped VMEM. Multiple of 8; prefers exact
-    divisors of T (no padded tail cells)."""
-    bytes_per_row = 4 * sum(max(c, 128) for c in channels) * 2
-    cap = max(256, min(8192, (8 * 2**20 // bytes_per_row) // 8 * 8))
-    if T <= cap:
-        return -(-T // 8) * 8
-    for d in range(cap, cap // 2, -8):
-        if T % d == 0:
-            return d
-    return cap
-
-
-def _encoder_fused(
-    params: dict, x: jnp.ndarray, causal: bool, interpret: bool = False, precision=None
-):
-    """Fused-kernel SEANet encoder: identical math to the XLA path, with the
-    reflect pads computed inside the conv kernels, each GroupNorm's moments
-    accumulated by the kernel that PRODUCES the tensor, and the normalize
-    affine applied lazily by the kernel (or down conv) that CONSUMES it.
-    Strided down convs stay in XLA (reflect pad fused into the elementwise
-    z build; FP front rows emitted via conv low padding). Rationale, probe
-    results, and the store layout live in ops/pallas_encodec.py."""
-    from ..ops import pallas_encodec as pe
-
-    gn = not causal
-    if precision is None:
-        precision = (
-            jax.lax.Precision.HIGHEST if config.exactness_forced() else _fused_precision()
-        )
-    x = x.astype(jnp.float32)
-    B, T, _ = x.shape
-
-    def affine_of(sums, gn_p):
-        if sums is None:
-            return None, None
-        return pe.gn_affine_from_sums(sums, T_of[0], gn_p["gamma"], gn_p["beta"])
-
-    # conv_in (k=7). The tile is shared by every kernel of the stage (the
-    # store layout is sized by it), so it budgets the widest kernel — the
-    # res front with [C] in + [C/2] + [C] outs.
-    C0 = N_FILTERS
-    tile = _tile_for(T, (C0, C0 // 2, C0))
-    left, right = _pad_amounts(T, 7, 1, causal)
-    x_store = pe.to_store(x, tile)
-    y_store, sums = pe.fused_sconv(
-        x_store, params["conv_in"]["w"], params["conv_in"]["b"], None, None,
-        k=7, left=left, right=right, T=T, tile=tile, pre_elu=False, gn=gn,
-        interpret=interpret, precision=precision,
-    )
-    T_of = [T]  # closure cell for affine_of
-    aff = affine_of(sums, params["conv_in"].get("gn")) if gn else (None, None)
-
-    for ratio, stage in zip(RATIOS, params["stages"]):
-        res = stage["res"]
-        left1, right1 = _pad_amounts(T, 3, 1, causal)
-        h1_store, hs_store, s1, ss = pe.fused_res_front(
-            y_store, res["conv1"]["w"], res["conv1"]["b"],
-            res["shortcut"]["w"], res["shortcut"]["b"], aff[0], aff[1],
-            left=left1, right=right1, T=T, tile=tile, gn=gn,
-            interpret=interpret, precision=precision,
-        )
-        aff1 = affine_of(s1, res["conv1"].get("gn")) if gn else (None, None)
-        h2_store, s2 = pe.fused_sconv(
-            h1_store, res["conv2"]["w"], res["conv2"]["b"], aff1[0], aff1[1],
-            k=1, left=0, right=0, T=T, tile=tile, pre_elu=True, gn=gn,
-            interpret=interpret, precision=precision,
-        )
-        h2 = pe.from_store(h2_store, T)
-        hs = pe.from_store(hs_store, T)
-        if gn:
-            aff2 = affine_of(s2, res["conv2"].get("gn"))
-            affs = affine_of(ss, res["shortcut"].get("gn"))
-            z = h2 * aff2[0] + aff2[1] + hs * affs[0] + affs[1]
-        else:
-            z = h2 + hs
-        z = jax.nn.elu(z)
-
-        # Strided down conv in XLA: reflect pad is a gather fused into the
-        # elementwise z build; extra LOW zero padding emits the FP garbage
-        # front rows of the next store for free; HIGH zero padding rounds the
-        # store to the next stage's tile grid.
-        k_d, r = 2 * ratio, ratio
-        leftd, rightd = _pad_amounts(T, k_d, r, causal)
-        z_p = jnp.pad(z, ((0, 0), (leftd, rightd), (0, 0)), mode="reflect")
-        T_out = (T + leftd + rightd - k_d) // r + 1
-        C_out = stage["down"]["w"].shape[-1]
-        tile_next = _tile_for(T_out, (C_out, C_out // 2, C_out))
-        extra = pe.store_width(T_out, tile_next) - pe.FP - T_out
-        y_store = jax.lax.conv_general_dilated(
-            z_p, stage["down"]["w"], window_strides=(r,),
-            padding=((pe.FP * r, extra * r),),
-            dimension_numbers=("NWC", "WIO", "NWC"),
-            preferred_element_type=jnp.float32,
-            precision=config.matmul_precision(),
-        ) + stage["down"]["b"]
-        T, tile = T_out, tile_next
-        T_of[0] = T
-        if gn:
-            sums_d = pe.masked_channel_sums(pe.from_store(y_store, T))
-            aff = affine_of(sums_d, stage["down"].get("gn"))
-
-    h = pe.from_store(y_store, T)
-    if gn:
-        h = h * aff[0] + aff[1]
-    return h
-
-
-def _fused_precision():
-    """Mosaic has DEFAULT/HIGHEST only; HIGHEST tracks the XLA HIGH path
-    closest (more exact, not less — measured on the fused frontends)."""
-    import os
-
-    name = os.environ.get("FAD_TPU_FUSED_ENCODEC_PRECISION", "highest").strip().lower()
-    table = {
-        "highest": jax.lax.Precision.HIGHEST,
-        "default": jax.lax.Precision.DEFAULT,
-    }
-    if name not in table:
-        raise ValueError(
-            f"FAD_TPU_FUSED_ENCODEC_PRECISION={name!r}: expected 'highest' or 'default'"
-        )
-    return table[name]
-
-
-def _conv_weights_all_f32(params) -> bool:
-    """True iff EVERY conv weight the fused path consumes is float32 —
-    conv_in plus each stage's res conv1/conv2/shortcut and down conv.
-    Gating on conv_in alone would admit a pytree with f32 conv_in but bf16
-    stage weights and run mixed-dtype kernel dots instead of the measured
-    XLA mixed path (advisor r4)."""
-    ws = [params["conv_in"]["w"]]
-    for stage in params["stages"]:
-        res = stage["res"]
-        ws += [res["conv1"]["w"], res["conv2"]["w"], res["shortcut"]["w"], stage["down"]["w"]]
-    return all(w.dtype == jnp.float32 for w in ws)
-
-
-def _fused_enabled(params) -> bool:
-    """Trace-time gate for the fused conv-stage path: TPU backend, float32
-    conv weights (the mixed/bf16 opt-ins keep the XLA path for now), not
-    disabled via FAD_TPU_FUSED_ENCODEC=0, and not under an exactness force
-    with FAD_TPU_FUSED_ENCODEC unset (HIGHEST-precision kernels are slightly
-    MORE exact than XLA HIGH, but the force means 'bitwise-closest to the
-    golden path')."""
-    import os
-
-    flag = os.environ.get("FAD_TPU_FUSED_ENCODEC", "auto").strip().lower()
-    if flag not in ("0", "off", "false", "1", "on", "force", "auto"):
-        raise ValueError(
-            f"FAD_TPU_FUSED_ENCODEC={flag!r}: expected 0/off/false, 1/on/force, or auto"
-        )
-    if flag in ("0", "off", "false"):
-        return False
-    if jax.default_backend() not in ("tpu", "axon"):
-        # Explicit-only off-TPU (encodec_forward then runs the kernels in
-        # interpret mode — Mosaic can't lower on CPU); same f32 guard.
-        return flag in ("1", "on", "force") and _conv_weights_all_f32(params)
-    if config.exactness_forced() and flag == "auto":
-        return False
-    # NOTE: default still OFF pending the interleaved hardware A/B
-    # (scripts/exp_fused_encodec_ab.py) — the kernels are interpret-mode
-    # exact (tests/test_pallas_encodec.py) but the accept bar is a measured
-    # >=1.2x on the conv-stage slice. Flip 'auto' to True once recorded.
-    if flag == "auto":
-        return False
-    return _conv_weights_all_f32(params)
-
-
 def _res_block(p: dict, x: jnp.ndarray, causal: bool) -> jnp.ndarray:
     # A fused Pallas version of this block (haloed time tiles, whole
     # elu->conv3->elu->conv1 + shortcut in VMEM) was built and REJECTED in
@@ -376,22 +199,23 @@ def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.nd
     # and conv_out re-enter float32 (their params are never downcast).
     x = x.astype(params["conv_in"]["w"].dtype)
     h = jnp.swapaxes(x, 1, 2)  # NWC
-    if _fused_enabled(params):
-        # Off-TPU (explicit opt-in only) the kernels run in interpret mode.
-        h = _encoder_fused(
-            params, h, causal,
-            interpret=jax.default_backend() not in ("tpu", "axon"),
-        )
-    else:
-        h = _sconv(params["conv_in"], h, kernel=7, stride=1, causal=causal)
-        for ratio, stage in zip(RATIOS, params["stages"]):
-            # Stage boundary: follow the stage's weight dtype (no-op in
-            # uniform modes; enables per-stage precision mixes without
-            # f32<->bf16 ping-pong inside a stage).
-            h = h.astype(stage["res"]["conv1"]["w"].dtype)
-            h = _res_block(stage["res"], h, causal)
-            h = jax.nn.elu(h)
-            h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)
+    # The conv stages stay on XLA by design: a fused Pallas conv-stage path
+    # (reflect pads inside the kernels, GN moments produced/consumed lazily)
+    # was built in round 4 and REJECTED on hardware in round 5 — interleaved
+    # full-forward A/B measured the kernels 1.2-2.2x SLOWER than this XLA
+    # lowering (48k: 145.6 ms XLA vs 256.6/174.4 ms fused HIGHEST/DEFAULT;
+    # 24k: 107.8 vs 242.1/166.4). Sixth and final rejected formulation for
+    # these stages; kernel preserved in scripts/patches/
+    # fused_encodec_kernel.patch, numbers in TODO.md round-5 record.
+    h = _sconv(params["conv_in"], h, kernel=7, stride=1, causal=causal)
+    for ratio, stage in zip(RATIOS, params["stages"]):
+        # Stage boundary: follow the stage's weight dtype (no-op in
+        # uniform modes; enables per-stage precision mixes without
+        # f32<->bf16 ping-pong inside a stage).
+        h = h.astype(stage["res"]["conv1"]["w"].dtype)
+        h = _res_block(stage["res"], h, causal)
+        h = jax.nn.elu(h)
+        h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)
     # Recurrent-matmul operand dtype: bf16 on TPU (1 MXU pass; carry stays
     # f32), f32 on CPU / under an explicit exact-f32 force — config knob
     # FAD_TPU_LSTM_MATMUL; numbers in _slstm's docstring.

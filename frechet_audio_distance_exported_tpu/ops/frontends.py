@@ -257,9 +257,8 @@ def _resolve_frontend(impl: str) -> str:
         )
     if val in ("0", "false", "off", "no"):
         return "xla"
-    # An EXPLICIT opt-in beats the exactness force (same precedence as
-    # FAD_TPU_FUSED_ENCODEC); only the unset default falls back to 'xla'
-    # under FAD_TPU_PRECISION=highest / forced float32.
+    # An EXPLICIT opt-in beats the exactness force; only the unset default
+    # falls back to 'xla' under FAD_TPU_PRECISION=highest / forced float32.
     if val is None and exactness_forced():
         return "xla"
     return "pallas" if jax.default_backend() in ("tpu", "axon") else "xla"

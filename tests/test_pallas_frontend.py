@@ -161,9 +161,8 @@ def test_env_typo_rejected(monkeypatch):
 
 
 def test_explicit_on_beats_exactness_force(monkeypatch):
-    """Same precedence as FAD_TPU_FUSED_ENCODEC: an explicit opt-in wins over
-    the exactness force; only the UNSET default reverts to 'xla' under it
-    (code-review r4 finding)."""
+    """An explicit opt-in wins over the exactness force; only the UNSET
+    default reverts to 'xla' under it (code-review r4 finding)."""
     import jax as _jax
 
     monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
