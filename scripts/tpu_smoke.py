@@ -12,6 +12,10 @@ Covers: fused_pann_logmel (all 4 SR geometries), fused_vggish_logmel,
 window_attention_fused, swin_block_fused — the production wiring entry
 points. (The fused SEANet encoder was rejected on hardware and torn out,
 round-5 record.)
+
+Runtime: ~1 min with a warm persistent compile cache; a cold cache pays
+the remote Mosaic compile per geometry (observed up to ~16 min for the
+first, seconds after).
 """
 
 import os
@@ -30,23 +34,35 @@ import numpy as np
 FAILURES = []
 
 
-def check(name, fn_hw, fn_ref, atol_of):
+def check(name, fn_hw, fn_ref, rel_bar, to_linear=None):
+    """Compile+run fn_hw on the chip, compare to the interpret-mode reference.
+
+    The metric is max|hw - ref| / max|ref| (linear rel-to-max), optionally
+    after mapping log outputs back to linear power via `to_linear`: the
+    smoke exists to catch PROVER/indexing regressions (which corrupt loud
+    bins by O(1)), so the metric must not amplify near-cancelled quiet bins
+    the way dB-space absolute deltas do. Bars are set ~10x above the
+     2026-08 session calibration (see main())."""
     t0 = time.time()
     try:
-        hw = np.asarray(fn_hw())
+        hw = np.asarray(fn_hw(), np.float64)
     except Exception as e:  # compile or execute failure — the signal this exists for
         print(f"FAIL {name}: {type(e).__name__}: {str(e)[:300]}", flush=True)
         FAILURES.append(name)
         return
     dt = time.time() - t0
-    ref = np.asarray(fn_ref())
-    scale = max(float(np.abs(ref).max()), 1.0)
-    atol = atol_of * scale
-    d = float(np.abs(hw - ref).max())
-    ok = np.isfinite(hw).all() and hw.shape == ref.shape and d <= atol
+    ref = np.asarray(fn_ref(), np.float64)
+    if hw.shape != ref.shape or not np.isfinite(hw).all():
+        print(f"FAIL {name}: shape {hw.shape} vs {ref.shape} or non-finite", flush=True)
+        FAILURES.append(name)
+        return
+    if to_linear is not None:
+        hw, ref = to_linear(hw), to_linear(ref)
+    rel = float(np.abs(hw - ref).max() / max(np.abs(ref).max(), 1e-30))
+    ok = rel <= rel_bar
     print(
         f"{'PASS' if ok else 'FAIL'} {name}: compile+run {dt:.1f}s  "
-        f"max|hw-interpret| {d:.3e} (bar {atol:.3e}, scale {scale:.2f})",
+        f"rel-to-max |hw-interpret| {rel:.3e} (bar {rel_bar:.1e})",
         flush=True,
     )
     if not ok:
@@ -70,9 +86,13 @@ def main():
         window_attention_fused,
     )
 
-    hi = jax.lax.Precision.HIGHEST
-
     # --- log-mel frontends (Element halo specs) ---------------------------
+    # Shipped precision (None -> DEFAULT). Calibrated 2026-08 on v5e:
+    # DEFAULT tracks interpret f32 at 5.6e-8 (16k) to 3.6e-4 (48k) linear
+    # rel-to-max; HIGHEST's multi-pass summation order diverges more
+    # (2-4e-3) on near-cancelled bins, so the smoke runs what production
+    # runs. dB-space absolute bars were tried first and rejected: quiet-bin
+    # log amplification makes them fail on healthy kernels.
     for sr, num_frames in [(8000, 140), (16000, 128), (32000, 128), (48000, 1001)]:
         cfg = fe.PANN_CONFIGS[sr]
         length = num_frames * cfg["hop_size"] + cfg["window_size"]
@@ -80,10 +100,10 @@ def main():
         n_valid = jnp.asarray([num_frames, max(1, num_frames - 9)], jnp.int32)
         check(
             f"fused_pann_logmel[{sr}]",
-            lambda: fused_pann_logmel(wave, n_valid, sr, num_frames, precision=hi),
+            lambda: fused_pann_logmel(wave, n_valid, sr, num_frames),
             lambda: fused_pann_logmel(wave, n_valid, sr, num_frames, interpret=True),
-            # HIGHEST on MXU vs interpret f32: small assoc noise in dB space.
-            1e-3,
+            5e-3,
+            to_linear=lambda x: 10 ** (x / 10),  # dB -> power
         )
 
     nf = 96
@@ -91,9 +111,10 @@ def main():
     wave = jax.random.normal(jax.random.PRNGKey(7), (2, length), jnp.float32) * 0.1
     check(
         "fused_vggish_logmel",
-        lambda: fused_vggish_logmel(wave, nf, precision=hi),
+        lambda: fused_vggish_logmel(wave, nf),
         lambda: fused_vggish_logmel(wave, nf, interpret=True),
-        1e-3,
+        5e-3,
+        to_linear=np.exp,  # log(mel+0.01) -> mel+0.01
     )
 
     # --- Swin window attention / whole-block (CLAP) -----------------------
@@ -118,6 +139,10 @@ def main():
     bias = M._gathered_rel_bias(rel_bias, WS, H)
     mask = jnp.asarray(M._shift_attn_mask(RES, WS, WS // 2), jnp.float32)
 
+    # Calibrated 2026-08 on v5e: attention-only 8.7e-5 rel, whole-block
+    # 8.7e-4 rel (the kernel dots run Mosaic DEFAULT — single bf16 MXU pass
+    # on these f32 inputs; production feeds bf16 anyway, accepted at FAD
+    # level, TODO r3 record). Bars ~10x/6x above measured.
     check(
         "window_attention_fused",
         lambda: window_attention_fused(
@@ -128,7 +153,7 @@ def main():
             x, wqkv, bqkv, wproj, bproj, bias, mask, g1, b1,
             heads=H, num_windows=NW, group=2, interpret=True,
         ),
-        1e-4,
+        1e-3,
     )
     check(
         "swin_block_fused",
@@ -141,9 +166,7 @@ def main():
             wfc1, bfc1, wfc2, bfc2, heads=H, num_windows=NW, group=4,
             interpret=True,
         ),
-        # in-kernel A&S-polynomial GELU vs interpret's identical polynomial;
-        # MXU assoc noise only.
-        1e-4,
+        5e-3,
     )
 
     if FAILURES:
