@@ -188,10 +188,47 @@ def _slstm(
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("causal",))
 def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.ndarray:
     """[B, C, S] waveform (float32, or PCM16-exact int16) -> [B, S//320, 128]
-    frame embeddings."""
+    frame embeddings.
+
+    The env knobs (FAD_TPU_LSTM_MATMUL / FAD_TPU_PRECISION /
+    FAD_TPU_MODEL_DTYPE) are resolved HERE, at call time, and folded into
+    the jit key as statics — flipping them mid-process retraces instead of
+    silently reusing a stale traced branch (same contract as the frontend
+    wrappers, advisor r4 / code-review r5). Called inside an outer jit
+    (e.g. the pipeline core), resolution happens at that trace's build
+    time, as before.
+    """
+    return _encodec_forward_jit(
+        params, x, causal, config.lstm_op_dtype(), config.matmul_precision()
+    )
+
+
+def encodec_forward_raw(
+    params: dict, x: jnp.ndarray, causal: bool = True, lstm_op_dtype=None
+) -> jnp.ndarray:
+    """Unjitted forward body for experiment scripts that monkeypatch stage
+    internals (_sconv/_slstm) between variants — the jitted entry's trace
+    cache would serve the pre-swap trace for both. Env knobs resolve at
+    trace time of whatever jit the caller wraps this in."""
+    return _encodec_forward_jit.__wrapped__(
+        params, x, causal,
+        config.lstm_op_dtype() if lstm_op_dtype is None else lstm_op_dtype,
+        None,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("causal", "lstm_op_dtype", "precision")
+)
+def _encodec_forward_jit(
+    params: dict, x: jnp.ndarray, causal: bool, lstm_op_dtype, precision
+) -> jnp.ndarray:
+    # `precision` is consumed inside common.conv1d via config.matmul_precision()
+    # at trace time; it sits in the jit key only so an env flip forces the
+    # retrace that re-reads it.
+    del precision
     if x.dtype == jnp.int16:
         x = x.astype(jnp.float32) / 32768.0
     # Mixed-precision entry: the conv stages run in the weights' dtype (bf16
@@ -218,8 +255,9 @@ def encodec_forward(params: dict, x: jnp.ndarray, causal: bool = True) -> jnp.nd
         h = _sconv(stage["down"], h, kernel=2 * ratio, stride=ratio, causal=causal)
     # Recurrent-matmul operand dtype: bf16 on TPU (1 MXU pass; carry stays
     # f32), f32 on CPU / under an explicit exact-f32 force — config knob
-    # FAD_TPU_LSTM_MATMUL; numbers in _slstm's docstring.
-    h = _slstm(params["lstm"], h, op_dtype=config.lstm_op_dtype())
+    # FAD_TPU_LSTM_MATMUL (resolved at call time in encodec_forward);
+    # numbers in _slstm's docstring.
+    h = _slstm(params["lstm"], h, op_dtype=lstm_op_dtype)
     h = jax.nn.elu(h)
     h = _sconv(params["conv_out"], h, kernel=7, stride=1, causal=causal)
     return h  # [B, T, 128]

@@ -24,6 +24,11 @@ import numpy as np
 
 from frechet_audio_distance_exported_tpu import config
 from frechet_audio_distance_exported_tpu.models import encodec as enc
+if not hasattr(enc, "_encoder_fused"):
+    sys.exit(
+        "fused encodec kernel torn out (round-5 hardware rejection); restore with:"
+        " git apply -R scripts/patches/fused_encodec_kernel.patch"
+    )
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--sr", type=int, default=48000)

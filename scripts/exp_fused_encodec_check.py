@@ -14,6 +14,11 @@ import numpy as np
 import jax.numpy as jnp
 
 from frechet_audio_distance_exported_tpu.models import encodec as enc
+if not hasattr(enc, "_encoder_fused"):
+    sys.exit(
+        "fused encodec kernel torn out (round-5 hardware rejection); restore with:"
+        " git apply -R scripts/patches/fused_encodec_kernel.patch"
+    )
 
 
 def xla_stages(params, x, causal):

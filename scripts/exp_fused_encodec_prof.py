@@ -20,7 +20,14 @@ import jax.numpy as jnp
 import numpy as np
 
 from frechet_audio_distance_exported_tpu.models import encodec as enc
-from frechet_audio_distance_exported_tpu.ops import pallas_encodec as pe
+
+try:
+    from frechet_audio_distance_exported_tpu.ops import pallas_encodec as pe
+except ImportError:
+    sys.exit(
+        "fused encodec kernel torn out (round-5 hardware rejection); restore with:"
+        " git apply -R scripts/patches/fused_encodec_kernel.patch"
+    )
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--T", type=int, default=480000)

@@ -40,7 +40,6 @@ def main():
 
     print(f"backend: {jax.default_backend()}", flush=True)
     params = E.init_encodec_params(jax.random.PRNGKey(0), causal=False, channels=2)
-    raw_forward = E.encodec_forward.__wrapped__
 
     def make_fwd(op_dtype):
         def fwd(w):

@@ -123,12 +123,12 @@ def main():
     pm = cast_model_params("encodec", params, jnp.bfloat16)
     wave = jax.random.normal(jax.random.PRNGKey(2), (32, 1, 240000), jnp.float32) * 0.1
 
-    # encodec_forward is module-level-jitted; its trace cache would serve the
-    # pre-swap trace for both variants. Trace the unjitted body instead, and
-    # pin the baseline's op_dtype to f32 explicitly (since round 3 the
-    # shipped default resolves to bf16 operands on TPU via
-    # config.lstm_op_dtype(), which would make swap=False measure bf16 too).
-    raw_forward = E.encodec_forward.__wrapped__
+    # The jitted entry's trace cache would serve the pre-swap trace for both
+    # variants. Trace the unjitted body instead, and pin the baseline's
+    # op_dtype to f32 explicitly (since round 3 the shipped default resolves
+    # to bf16 operands on TPU via config.lstm_op_dtype(), which would make
+    # swap=False measure bf16 too).
+    raw_forward = E.encodec_forward_raw
 
     def fwd(swap):
         orig = E._slstm

@@ -389,7 +389,7 @@ def main():
             enc._sconv = sconv
             fn = jax.jit(
                 lambda acc, w, c=causal: acc
-                + jnp.sum(enc.encodec_forward.__wrapped__(params, w, c)
+                + jnp.sum(enc.encodec_forward_raw(params, w, c)
                           .astype(jnp.float32))
             )
             acc = jnp.zeros((), jnp.float32)

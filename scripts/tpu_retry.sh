@@ -14,7 +14,9 @@ for i in $(seq 1 60); do
   if [ $rc -eq 0 ]; then rm -f "$ATT"; echo "=== SUCCESS rc=0" >> "$LOG"; exit 0; fi
   # Retryable only when the FINAL traceback is the backend-init failure —
   # a tolerated child probe printing the string mid-run must not loop us.
-  if ! tail -n 20 "$ATT" | grep -q "Unable to initialize backend"; then
+  # 80 lines: chained tracebacks put the marker in the __cause__ section
+  # above a >20-line outer traceback plus atexit/log noise (review r5).
+  if ! tail -n 80 "$ATT" | grep -q "Unable to initialize backend"; then
     rm -f "$ATT"
     echo "=== FAILED rc=$rc (not a backend-init error; stopping)" >> "$LOG"
     exit $rc

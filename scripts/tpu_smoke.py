@@ -51,7 +51,13 @@ def check(name, fn_hw, fn_ref, rel_bar, to_linear=None):
         FAILURES.append(name)
         return
     dt = time.time() - t0
-    ref = np.asarray(fn_ref(), np.float64)
+    try:
+        ref = np.asarray(fn_ref(), np.float64)
+    except Exception as e:  # keep smoking the remaining kernels
+        print(f"FAIL {name}: interpret reference raised "
+              f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+        FAILURES.append(name)
+        return
     if hw.shape != ref.shape or not np.isfinite(hw).all():
         print(f"FAIL {name}: shape {hw.shape} vs {ref.shape} or non-finite", flush=True)
         FAILURES.append(name)

@@ -86,6 +86,36 @@ class TestEncoder:
         b = np.asarray(encodec_forward(params, x, causal=True))
         np.testing.assert_array_equal(a, b)
 
+    def test_env_flip_retraces(self, monkeypatch):
+        """FAD_TPU_LSTM_MATMUL / FAD_TPU_PRECISION resolve at call time and
+        sit in the jit key as statics — flipping them mid-process must add a
+        trace-cache entry instead of silently reusing the stale branch (the
+        frontend wrappers' contract, extended here by code-review r5; on CPU
+        outputs can be bitwise-equal, so assert the mechanism)."""
+        from frechet_audio_distance_exported_tpu.models import encodec as E
+
+        monkeypatch.delenv("FAD_TPU_LSTM_MATMUL", raising=False)
+        monkeypatch.delenv("FAD_TPU_PRECISION", raising=False)
+        params = init_encodec_params(jax.random.PRNGKey(0))
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 1, 3200))
+        base = np.asarray(encodec_forward(params, x, causal=True))
+
+        size0 = E._encodec_forward_jit._cache_size()
+        monkeypatch.setenv("FAD_TPU_LSTM_MATMUL", "bfloat16")
+        bf = np.asarray(encodec_forward(params, x, causal=True))
+        size1 = E._encodec_forward_jit._cache_size()
+        assert size1 > size0, "LSTM operand-dtype flip reused the stale trace"
+        # bf16 operands genuinely change values (also guards against the
+        # static arg being resolved but ignored).
+        assert np.any(bf != base)
+
+        monkeypatch.setenv("FAD_TPU_LSTM_MATMUL", "float32")
+        monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+        hi = np.asarray(encodec_forward(params, x, causal=True))
+        size2 = E._encodec_forward_jit._cache_size()
+        assert size2 > size1, "precision flip reused the stale trace"
+        np.testing.assert_allclose(hi, base, rtol=0, atol=1e-5)
+
     def test_lstm_bf16_operands_close_to_f32(self):
         """Mixed-precision mode runs the in-scan recurrent matmuls with bf16
         OPERANDS (f32 carry/accumulation, models/encodec.py:_slstm). The

@@ -196,10 +196,13 @@ class TestModeFlipRetrace:
         n = fe.pann_num_frames(16000, 160)
         monkeypatch.delenv("FAD_TPU_PRECISION", raising=False)
         base = np.asarray(fe.pann_logmel_batch(padded, 16000, n))
-        # HIGHEST-precision matmuls differ from HIGH in f32 on CPU too
-        # (different contraction path); a bitwise-equal result would mean
-        # the flip did not retrace. Guard with a sanity check that the two
-        # precisions agree loosely.
+        # On CPU both precisions can produce bitwise-equal outputs, so a
+        # value comparison cannot witness the retrace (code-review r5).
+        # Assert the mechanism instead: the precision flip must add a new
+        # entry to the inner jit's trace cache.
+        before = fe._pann_logmel_jit._cache_size()
         monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
         hi = np.asarray(fe.pann_logmel_batch(padded, 16000, n))
+        after = fe._pann_logmel_jit._cache_size()
+        assert after > before, "precision flip reused the stale trace"
         np.testing.assert_allclose(base, hi, atol=1e-3)

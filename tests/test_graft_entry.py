@@ -24,7 +24,7 @@ GATES = ("FAD_TPU_FUSED_FRONTEND", "FAD_TPU_FUSED_ATTN", "FAD_TPU_FUSED_BLOCK")
 def test_dryrun_pins_fused_gates_and_restores(monkeypatch):
     seen = {}
 
-    def fake_body(n_devices, jax_mod):
+    def fake_body(n_devices):
         assert n_devices == 4
         seen.update({k: os.environ.get(k) for k in GATES})
 
@@ -43,7 +43,7 @@ def test_dryrun_pins_fused_gates_and_restores(monkeypatch):
 
 
 def test_dryrun_restores_gates_on_body_failure(monkeypatch):
-    def boom(n_devices, jax_mod):
+    def boom(n_devices):
         raise RuntimeError("synthetic dryrun failure")
 
     monkeypatch.setattr(graft, "_dryrun_multichip_body", boom)
