@@ -36,7 +36,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import common
-from ..config import matmul_precision
+from ..config import exactness_forced, matmul_precision
 
 
 def _resolve_attn(attn: str) -> str:
@@ -65,16 +65,36 @@ def _resolve_attn(attn: str) -> str:
             f"attn must be 'auto', 'fused', 'fused_block' or 'xla', got {attn!r}"
         )
 
-    def _off(name):
-        return os.environ.get(name, "1").strip().lower() in (
-            "0", "false", "off", "no",
+    def _env_flag(name):
+        """None if unset; True/False for recognized values. A typo must not
+        silently keep the fused kernels on (the _resolve_frontend convention;
+        code-review r5)."""
+        val = os.environ.get(name)
+        if val is None:
+            return None
+        v = val.strip().lower()
+        if v in ("0", "false", "off", "no"):
+            return False
+        if v in ("1", "true", "on", "yes", "force"):
+            return True
+        raise ValueError(
+            f"{name}={val!r}: expected 0/false/off/no or 1/true/on/yes/force"
         )
 
-    if _off("FAD_TPU_FUSED_ATTN"):
+    attn_flag = _env_flag("FAD_TPU_FUSED_ATTN")
+    block_flag = _env_flag("FAD_TPU_FUSED_BLOCK")
+    if attn_flag is False:
         return "xla"
     if jax.default_backend() not in ("tpu", "axon"):
         return "xla"
-    return "fused" if _off("FAD_TPU_FUSED_BLOCK") else "fused_block"
+    # The kernels' dots run Mosaic DEFAULT (single bf16 pass), so the UNSET
+    # default reverts to the exact XLA assembly under an exactness force —
+    # the config.py contract every other DEFAULT-precision component follows
+    # (code-review r5). An explicit FAD_TPU_FUSED_ATTN=1 beats the force,
+    # matching the frontend wrappers' precedence.
+    if attn_flag is None and exactness_forced():
+        return "xla"
+    return "fused" if block_flag is False else "fused_block"
 
 EMBEDDING_SIZE = 512
 SPEC_SIZE = 256
@@ -328,14 +348,30 @@ def _patch_merging(p: dict, x: jnp.ndarray, res: int) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 
 
-@functools.partial(jax.jit, static_argnames=("attn",))
 def clap_forward(params: dict, log_mel: jnp.ndarray, attn: str = "auto") -> jnp.ndarray:
     """[B, 1001, 64] log-mel -> [B, 512] L2-normalized CLAP embeddings.
 
     ``attn`` selects the window-attention implementation ('auto' / 'fused'
-    Pallas / 'xla'); see _resolve_attn.
+    Pallas / 'xla'); see _resolve_attn. The env knobs (FAD_TPU_FUSED_ATTN /
+    FAD_TPU_FUSED_BLOCK / FAD_TPU_PRECISION) are resolved HERE, at call
+    time, and folded into the jit key — flipping them mid-process retraces
+    instead of silently reusing the stale traced branch (the frontend /
+    encodec wrappers' contract; code-review r5). Called inside an outer jit
+    (pipeline core / shard_map), resolution happens at that trace's build
+    time, as before.
     """
-    fused_attn = _resolve_attn(attn)
+    return _clap_forward_jit(params, log_mel, _resolve_attn(attn), matmul_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("attn", "precision"))
+def _clap_forward_jit(
+    params: dict, log_mel: jnp.ndarray, attn: str, precision
+) -> jnp.ndarray:
+    # `precision` is consumed inside _window_attention/common at trace time
+    # via config.matmul_precision(); it sits in the jit key only so an env
+    # flip forces the retrace that re-reads it.
+    del precision
+    fused_attn = attn
     b, t, f = log_mel.shape
     # Bicubic 1001 -> 1024 time interpolation as four static gathers + a
     # weighted sum (see _bicubic_taps; fp-equivalent to the dense matmul).

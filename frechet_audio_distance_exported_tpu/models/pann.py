@@ -17,10 +17,13 @@ Output: [B, 2048] embeddings
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from . import common
+from ..config import matmul_precision
 
 EMBEDDING_SIZE = 2048
 MEL_BINS = 64
@@ -54,9 +57,19 @@ def _conv_block(p: dict, x: jnp.ndarray, pool: int) -> jnp.ndarray:
     return x
 
 
-@jax.jit
 def pann_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """[B, T, 64] log-mel -> [B, 2048] embeddings."""
+    """[B, T, 64] log-mel -> [B, 2048] embeddings.
+
+    FAD_TPU_PRECISION resolves at call time and sits in the jit key, so a
+    mid-process flip retraces instead of reusing the stale branch (the
+    frontend/encodec wrappers' contract; code-review r5)."""
+    return _pann_forward_jit(params, x, matmul_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _pann_forward_jit(params: dict, x: jnp.ndarray, precision) -> jnp.ndarray:
+    # In the jit key only (re-read inside common.conv2d at retrace time).
+    del precision
     # bn0 across mel bins (the reference's transpose(1,3) sandwich,
     # reference: models/pann.py:249-251, collapses to a per-bin affine).
     h = common.batch_norm(x, params["bn0"])

@@ -14,10 +14,13 @@ Output: [B, 128] embeddings
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 from . import common
+from ..config import matmul_precision
 
 EMBEDDING_SIZE = 128
 NUM_FRAMES = 96
@@ -45,9 +48,21 @@ def init_vggish_params(rng: jax.Array) -> dict:
     return params
 
 
-@jax.jit
 def vggish_forward(params: dict, x: jnp.ndarray) -> jnp.ndarray:
-    """[B, 96, 64] log-mel patches -> [B, 128] embeddings."""
+    """[B, 96, 64] log-mel patches -> [B, 128] embeddings.
+
+    FAD_TPU_PRECISION resolves at call time and sits in the jit key, so a
+    mid-process flip retraces instead of reusing the stale branch (the
+    frontend/encodec wrappers' contract; code-review r5)."""
+    return _vggish_forward_jit(params, x, matmul_precision())
+
+
+@functools.partial(jax.jit, static_argnames=("precision",))
+def _vggish_forward_jit(params: dict, x: jnp.ndarray, precision) -> jnp.ndarray:
+    # `precision` is consumed inside common.conv2d/linear via
+    # config.matmul_precision() at trace time; it sits in the jit key only
+    # so an env flip forces the retrace that re-reads it.
+    del precision
     # Trace-time guard: a transposed [B, 64, 96] input pools to the same
     # flattened 12288 features and returns numerically valid garbage, so the
     # mistake must fail loudly here rather than corrupt scores silently.

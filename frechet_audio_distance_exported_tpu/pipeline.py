@@ -801,7 +801,27 @@ class EmbeddingPipeline:
 
         def prep(data):
             if data.ndim > 1:
+                # Mono-mix BEFORE the 10 s pad. The reference's score() path
+                # always receives mono from load_audio; for direct 2-D
+                # get_embeddings input its np.pad(audio, (0, k)) zero-pads
+                # the CHANNEL axis too and then mono-mixes over C+k channels
+                # (near-silence) — rank-confusion of the load_audio class,
+                # not behavior worth preserving (PARITY.md quirks).
                 data = np.mean(data, axis=1)
+            # Files longer than the CLAP mel read window ship truncated: the
+            # reference supports long audio by TRUNCATING the mel to 1001
+            # frames (fad.py:69-91), and frames 0..1000 of a center/reflect
+            # STFT depend only on target samples < (1001+2)*480 = 481,440 —
+            # so the prefix that reaches the model is bit-identical while
+            # the wire/pad bytes and one XLA compile per length bucket are
+            # saved (code-review r5). The resampler's Kaiser kernel has
+            # finite support; 4096 source samples of margin keep the
+            # resampled prefix bitwise too.
+            need = (fe.CLAP_TIME_FRAMES + 2) * 480
+            if sr != fe.CLAP_SAMPLE_RATE:
+                need = int(np.ceil(need * sr / fe.CLAP_SAMPLE_RATE)) + 4096
+            if len(data) > need:
+                data = data[:need]
             # Pad the *waveform* to 10 s before the mel (reference:
             # fad.py:354-359), then quantize (zeros are fixed points).
             if len(data) < fe.CLAP_MAX_SAMPLES:

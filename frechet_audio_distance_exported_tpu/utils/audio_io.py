@@ -246,7 +246,30 @@ def sf_read(fname: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
         return read_caf(fname, dtype=dtype)
     if magic == b"OggS":
         return _read_ogg(fname, dtype)
-    if magic[:3] == b"ID3" or (len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0):
+    if magic[:3] == b"ID3":
+        # ID3v2 tags are not MP3-specific: common tagging tools prepend them
+        # to FLAC files too (libsndfile skips the tag; code-review r5).
+        # Dispatch on what FOLLOWS the tag; mpg123 skips ID3 itself, so the
+        # MP3 route needs no offset.
+        with open(fname, "rb") as f:
+            head = f.read(10)
+            if len(head) == 10:
+                # Synchsafe 28-bit size + optional 10-byte footer (flag 0x10).
+                size = (
+                    (head[6] & 0x7F) << 21 | (head[7] & 0x7F) << 14
+                    | (head[8] & 0x7F) << 7 | (head[9] & 0x7F)
+                )
+                tag_end = 10 + size + (10 if head[5] & 0x10 else 0)
+                f.seek(tag_end)
+                post = f.read(4)
+                if post == b"fLaC":
+                    from .flac import read_flac
+
+                    return read_flac(fname, dtype=dtype, offset=tag_end)
+        from .mp3 import read_mp3
+
+        return read_mp3(fname, dtype=dtype)
+    if len(magic) >= 2 and magic[0] == 0xFF and (magic[1] & 0xE0) == 0xE0:
         from .mp3 import read_mp3
 
         return read_mp3(fname, dtype=dtype)

@@ -274,11 +274,14 @@ def _decode_subframe(br: _BitReader, block_size: int, bps: int) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def read_flac(path: str, dtype: str = "float32") -> Tuple[np.ndarray, int]:
+def read_flac(path: str, dtype: str = "float32", offset: int = 0) -> Tuple[np.ndarray, int]:
     """Decode a FLAC file; returns (data, sample_rate) shaped like read_wav
-    ([frames] mono / [frames, channels])."""
+    ([frames] mono / [frames, channels]). ``offset`` skips a leading ID3v2
+    tag (audio_io.sf_read computes it; libsndfile-compatible behavior)."""
     with open(path, "rb") as f:
         raw = f.read()
+    if offset:
+        raw = raw[offset:]
     if raw[:4] != FLAC_MAGIC:
         raise ValueError(f"Not a FLAC file: {path}")
 

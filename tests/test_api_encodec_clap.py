@@ -94,3 +94,21 @@ class TestCLAP:
         e1 = fad._get_embedding_for_audio(a)
         e2 = fad._get_embedding_for_audio(a)
         np.testing.assert_array_equal(e1, e2)
+
+    def test_long_audio_embeds_by_mel_truncation(self, fad, sine_audio):
+        """Audio past 10 s is supported via the reference's 1001-frame mel
+        truncation (fad.py:69-91): only target samples < (1001+2)*480 can
+        reach the model, so clips sharing that prefix must embed identically
+        regardless of tail length — and land in ONE length bucket instead of
+        compiling per duration (code-review r5)."""
+        rng = np.random.default_rng(9)
+        read_window = (1001 + 2) * 480  # 481,440 samples @ 48 kHz
+        prefix = (rng.standard_normal(read_window) * 0.1).astype(np.float32)
+        tail_a = (rng.standard_normal(48000 * 5) * 0.3).astype(np.float32)
+        tail_b = (rng.standard_normal(48000 * 20) * 0.3).astype(np.float32)
+        long_a = np.concatenate([prefix, tail_a])  # ~15 s
+        long_b = np.concatenate([prefix, tail_b])  # ~30 s
+        out = fad.get_embeddings([long_a, long_b, prefix], 48000)
+        assert out.shape == (3, 512)
+        np.testing.assert_array_equal(out[0], out[1])
+        np.testing.assert_array_equal(out[0], out[2])

@@ -113,6 +113,57 @@ def test_lstm_op_dtype_resolution(monkeypatch):
         lstm_op_dtype()
 
 
+def test_attn_env_resolution(monkeypatch):
+    """_resolve_attn's env contract (code-review r5): typos raise instead of
+    silently keeping the fused kernels on; the UNSET default reverts to the
+    exact XLA assembly under an exactness force (the kernels' dots run
+    Mosaic DEFAULT); an explicit opt-in beats the force (the frontend
+    wrappers' precedence)."""
+    import jax
+    import pytest as _pytest
+
+    from frechet_audio_distance_exported_tpu.models import clap
+
+    for name in ("FAD_TPU_FUSED_ATTN", "FAD_TPU_FUSED_BLOCK", "FAD_TPU_PRECISION"):
+        monkeypatch.delenv(name, raising=False)
+    monkeypatch.setenv("FAD_TPU_FUSED_ATTN", "flase")  # the typo class
+    with _pytest.raises(ValueError, match="FAD_TPU_FUSED_ATTN"):
+        clap._resolve_attn("auto")
+    monkeypatch.delenv("FAD_TPU_FUSED_ATTN")
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert clap._resolve_attn("auto") == "fused_block"
+    monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+    assert clap._resolve_attn("auto") == "xla"  # unset default under a force
+    monkeypatch.setenv("FAD_TPU_FUSED_ATTN", "1")
+    assert clap._resolve_attn("auto") == "fused_block"  # explicit beats force
+    monkeypatch.setenv("FAD_TPU_FUSED_BLOCK", "0")
+    assert clap._resolve_attn("auto") == "fused"
+
+
+def test_clap_env_flip_retraces(monkeypatch):
+    """FAD_TPU_PRECISION / the attn knobs resolve at call time and sit in
+    clap_forward's jit key — a mid-process flip must add a trace-cache entry
+    instead of reusing the stale branch (code-review r5; on CPU outputs can
+    be bitwise-equal, so assert the mechanism)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from frechet_audio_distance_exported_tpu.models import clap
+
+    monkeypatch.delenv("FAD_TPU_PRECISION", raising=False)
+    params = clap.init_clap_params(jax.random.PRNGKey(0))
+    mel = jax.random.normal(jax.random.PRNGKey(1), (1, 1001, 64), jnp.float32)
+    base = np.asarray(clap.clap_forward(params, mel))
+    size0 = clap._clap_forward_jit._cache_size()
+    monkeypatch.setenv("FAD_TPU_PRECISION", "highest")
+    hi = np.asarray(clap.clap_forward(params, mel))
+    size1 = clap._clap_forward_jit._cache_size()
+    assert size1 > size0, "precision flip reused the stale trace"
+    np.testing.assert_allclose(hi, base, rtol=0, atol=1e-5)
+
+
 def test_attn_mode_is_a_static_arg_not_a_global():
     """The attention implementation is threaded through clap_forward as a
     static argument ('auto'/'fused'/'xla') — no process-wide mesh global, so

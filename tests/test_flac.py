@@ -268,3 +268,50 @@ class TestIntegration:
         a = fad.get_embeddings(wavs, sr)
         b = fad.get_embeddings(flacs, sr)
         np.testing.assert_array_equal(a, b)
+
+
+class TestID3TaggedFlac:
+    def test_id3v2_tagged_flac_decodes_as_flac(self, tmp_path):
+        """ID3v2 tags are not MP3-specific — tagging tools prepend them to
+        FLAC files, and libsndfile (the reference's decoder) skips the tag.
+        sf_read must dispatch on what FOLLOWS the tag, not hand the file to
+        the MP3 decoder (code-review r5)."""
+        sr = 16000
+        x = _sine(0.8, 523.0, sr)
+        plain = str(tmp_path / "plain.flac")
+        flac.write_flac(plain, x, sr)
+        ref, sr_ref = audio_io.sf_read(plain)
+
+        # Minimal ID3v2.3 tag: 10-byte header + 40-byte body (zero padding
+        # is valid tag content), synchsafe size.
+        body = bytes(40)
+        size = len(body)
+        header = b"ID3" + bytes([3, 0, 0]) + bytes(
+            [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F, size & 0x7F]
+        )
+        tagged = str(tmp_path / "tagged.flac")
+        with open(plain, "rb") as f:
+            payload = f.read()
+        with open(tagged, "wb") as f:
+            f.write(header + body + payload)
+
+        got, sr_got = audio_io.sf_read(tagged)
+        assert sr_got == sr_ref
+        np.testing.assert_array_equal(got, ref)
+
+    def test_id3v2_footer_flag_accounted(self, tmp_path):
+        sr = 16000
+        x = _sine(0.5, 700.0, sr)
+        plain = str(tmp_path / "p.flac")
+        flac.write_flac(plain, x, sr)
+        ref, _ = audio_io.sf_read(plain)
+        body = bytes(16)
+        # Footer-present flag (0x10): tag occupies 10 + size + 10 bytes.
+        header = b"ID3" + bytes([4, 0, 0x10, 0, 0, 0, len(body)])
+        with open(plain, "rb") as f:
+            payload = f.read()
+        tagged = str(tmp_path / "t.flac")
+        with open(tagged, "wb") as f:
+            f.write(header + body + bytes(10) + payload)
+        got, _ = audio_io.sf_read(tagged)
+        np.testing.assert_array_equal(got, ref)
