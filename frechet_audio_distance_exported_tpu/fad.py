@@ -22,6 +22,7 @@ from typing import List, Optional
 import numpy as np
 
 from . import registry
+from .config import exact_sqrtm
 from .ops import stats as stats_ops
 from .pipeline import EmbeddingPipeline
 from .utils import audio_io
@@ -83,13 +84,10 @@ class FrechetAudioDistance:
             mesh: optional jax.sharding.Mesh with a 'data' axis
                 (parallel.mesh.data_mesh()); shards batches over chips.
         """
-        if model_name not in VALID_MODELS:
-            raise ValueError(
-                f"Unknown model: {model_name}. Valid options: {list(VALID_MODELS.keys())}"
-            )
-
-        model_config = VALID_MODELS[model_name]
-        expected_sr = model_config["sample_rate"]
+        # Validation + config lookup live in the registry (same error text);
+        # duplicating the membership check here invited drift (review r5).
+        model_config = registry.get_model_config(model_name)
+        expected_sr = model_config.sample_rate
         if sample_rate is None:
             sample_rate = expected_sr
         elif sample_rate != expected_sr:
@@ -181,8 +179,6 @@ class FrechetAudioDistance:
         dominated end-to-end score() time. Set FAD_TPU_EXACT_SQRTM=1 to run
         the reference's scipy algorithm bit-for-bit instead.
         """
-        from .config import exact_sqrtm
-
         if exact_sqrtm():
             return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2, eps=eps)
         return stats_ops.frechet_distance_eigh_np(mu1, sigma1, mu2, sigma2, eps=eps)
@@ -261,8 +257,6 @@ class FrechetAudioDistance:
             # Rank-deficient regime (fewer rows than dims, e.g. PANN's d=2048
             # over a typical corpus): the Gram-trick epilogue is exact and
             # avoids the d x d eigendecompositions entirely.
-            from .config import exact_sqrtm
-
             d = embds_background.shape[1]
             n_min = min(len(embds_background), len(embds_eval))
             # The fast path bypasses calculate_embd_statistics /
@@ -344,22 +338,22 @@ class FrechetAudioDistance:
         # shift-stabilized float32 accumulation.
         mu1, sigma1 = stats_ops.finalize_stats_np(st_bg)
         mu2, sigma2 = stats_ops.finalize_stats_np(st_ev)
-        from .config import exact_sqrtm
+        # Through the hook, not an inline dispatch copy: a subclass override
+        # of calculate_frechet_distance (reference-API extension point) must
+        # see the device-stats scores too (review r5). The stock hook applies
+        # the same FAD_TPU_EXACT_SQRTM dispatch this branch used to inline.
+        return self.calculate_frechet_distance(mu1, sigma1, mu2, sigma2)
 
-        if exact_sqrtm():
-            # FAD_TPU_EXACT_SQRTM promises the reference's scipy algorithm
-            # bit-for-bit — honor it here too, not just on the host path.
-            return stats_ops.frechet_distance_np(mu1, sigma1, mu2, sigma2)
-        # eigh-route float64 epilogue: same math, ~50x faster than scipy's
-        # complex sqrtm at d=2048 (which would dominate end-to-end time).
-        return stats_ops.frechet_distance_eigh_np(mu1, sigma1, mu2, sigma2)
-
-    def warmup(self, durations=(10.0,), num_files: int = None) -> None:
+    def warmup(self, durations=(10.0,), num_files: int = None, device_stats: bool = True) -> None:
         """Pre-compile the pipeline for clips of the given durations (seconds).
 
         XLA compiles one program per shape bucket; serving deployments call
         this once (optionally with FAD_TPU_COMPILE_CACHE set) so the first
-        real request doesn't pay tens of seconds of compilation.
+        real request doesn't pay tens of seconds of compilation. The
+        score(device_stats=True) path runs DIFFERENT jit programs (fused
+        embed+stats step, init and update variants), so both are warmed by
+        default (review r5); pass device_stats=False to warm only the
+        embedding path.
         """
         num_files = num_files or self.pipeline.file_batch
         rng = np.random.default_rng(0)
@@ -369,3 +363,8 @@ class FrechetAudioDistance:
                 for _ in range(num_files)
             ]
             self.pipeline.embed_files(clips, self.sample_rate, strict=False)
+            if device_stats:
+                # state=None compiles the init variant; threading the state
+                # back compiles the update variant.
+                state = self.pipeline.accumulate_stats(clips, self.sample_rate)
+                self.pipeline.accumulate_stats(clips, self.sample_rate, state=state)

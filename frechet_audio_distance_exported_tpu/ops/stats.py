@@ -258,8 +258,19 @@ def frechet_distance_eigh_np(
     root) but ~50x faster at d=2048: two float64 eighs instead of a complex
     Schur sqrtm. Agrees with scipy to ~1e-7 relative; used by the
     device-stats scoring path where scipy's 30 s sqrtm would dominate
-    end-to-end time. Applies the reference's eps-diagonal retry semantics.
+    end-to-end time.
+
+    Singular products: the eigenvalue clamp (max(w, 0)) makes this route
+    return the finite PSD-projected trace directly, so the reference's
+    eps-diagonal RETRY condition (scipy sqrtm going non-finite,
+    fad.py:538-544) can never fire here — an earlier version carried that
+    retry as unreachable dead code (review r5). In the rare regime where
+    scipy actually goes non-finite and the reference's retried score picks
+    up an O(eps*d) offset, this route and the reference diverge by that
+    offset; FAD_TPU_EXACT_SQRTM=1 runs the reference algorithm (retry
+    included) bit-for-bit. ``eps`` is kept for signature compatibility.
     """
+    del eps
     mu1 = np.atleast_1d(np.asarray(mu1, np.float64))
     mu2 = np.atleast_1d(np.asarray(mu2, np.float64))
     sigma1 = np.atleast_2d(np.asarray(sigma1, np.float64))
@@ -274,9 +285,6 @@ def frechet_distance_eigh_np(
 
     diff = mu1 - mu2
     tr = trace_sqrtm(sigma1, sigma2)
-    if not np.isfinite(tr):
-        offset = np.eye(sigma1.shape[0]) * eps
-        tr = trace_sqrtm(sigma1 + offset, sigma2 + offset)
     return float(diff.dot(diff) + np.trace(sigma1) + np.trace(sigma2) - 2.0 * tr)
 
 
@@ -333,14 +341,17 @@ def frechet_distance_jax(
     )
     diff = mu1 - mu2
     tr = trace_fn(sigma1, sigma2)
-    eye = jnp.eye(sigma1.shape[0], dtype=sigma1.dtype) * eps
-    # Non-finite retry always goes through the eigh route: Newton-Schulz
-    # diverges on (near-)singular products — exactly the case that lands here
-    # — while eigh with the eps offset stays robust (measured at d=2048
-    # rank-deficient: 6e-4 relative vs scipy).
-    tr = jax.lax.cond(
-        jnp.isfinite(tr),
-        lambda: tr,
-        lambda: _trace_sqrtm_product_eigh(sigma1 + eye, sigma2 + eye),
-    )
+    if method != "eigh":
+        # Non-finite retry through the eigh route: Newton-Schulz diverges on
+        # (near-)singular products — exactly the case that lands here —
+        # while eigh with the eps offset stays robust (measured at d=2048
+        # rank-deficient: 6e-4 relative vs scipy). The eigh route itself
+        # clamps eigenvalues and never goes non-finite, so for method='eigh'
+        # this cond was dead code bloating the compiled program (review r5).
+        eye = jnp.eye(sigma1.shape[0], dtype=sigma1.dtype) * eps
+        tr = jax.lax.cond(
+            jnp.isfinite(tr),
+            lambda: tr,
+            lambda: _trace_sqrtm_product_eigh(sigma1 + eye, sigma2 + eye),
+        )
     return jnp.dot(diff, diff) + jnp.trace(sigma1) + jnp.trace(sigma2) - 2.0 * tr

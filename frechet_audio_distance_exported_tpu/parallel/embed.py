@@ -41,7 +41,12 @@ except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map as _shard_map_old
 
     def shard_map(f, mesh, in_specs, out_specs, check_vma=True):
-        return _shard_map_old(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs)
+        # Map the opt-out to the legacy lint (check_rep): dropping it would
+        # reintroduce the replication-check failure on pallas_call-bearing
+        # bodies that check_vma=False exists to prevent (review r5).
+        return _shard_map_old(
+            f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_rep=check_vma
+        )
 
 
 def make_sharded_embed_stats(

@@ -169,6 +169,27 @@ class TestEndToEndVGGish:
         s = hooked.score(bg, ev)
         assert s != -1 and calls, "override was bypassed"
 
+        # device_stats=True epilogue must route through the hook too
+        # (review r5: it used to inline the dispatch and skip overrides).
+        calls.clear()
+        s2 = hooked.score(bg, ev, device_stats=True)
+        assert s2 != -1 and calls, "device_stats epilogue bypassed the override"
+
+    def test_warmup_compiles_device_stats_programs(self, tmp_path_factory):
+        """warmup() must pre-compile the fused STATS step too — it is a
+        different jit program from the embedding step (init and update
+        variants), and a serving deployment using score(device_stats=True)
+        would otherwise pay the compile on its first real request
+        (review r5)."""
+        from frechet_audio_distance_exported_tpu import FrechetAudioDistance
+        from frechet_audio_distance_exported_tpu import pipeline as pl
+
+        fad = FrechetAudioDistance(model_name="vggish", weights="random")
+        before = pl._fused_vggish_stats_step._cache_size()
+        fad.warmup(durations=(1.0,), num_files=2)
+        after = pl._fused_vggish_stats_step._cache_size()
+        assert after >= before + 2, (before, after)  # init + update variants
+
     def test_batching_invariance(self, fad, sine_audio):
         """Embeddings are identical whether files go through together or alone
         (the TPU pipeline's bucketing must not change numerics)."""

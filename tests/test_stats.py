@@ -77,6 +77,21 @@ class TestFrechetNp:
         out = st.frechet_distance_np(mu, sigma, mu + 1.0, sigma)
         assert np.isfinite(out)
 
+    def test_eigh_route_singular_stays_finite_near_retried_scipy(self):
+        """The eigh route clamps eigenvalues, so it returns the finite
+        PSD-projected value directly on singular products — no retry path
+        exists or is needed (review r5 removed the unreachable one). Where
+        the reference's scipy retry fires, the two may diverge by the
+        retry's O(eps*d) offset; pin that scale."""
+        d = 64
+        mu = np.zeros(d)
+        sigma = np.zeros((d, d))  # fully singular: scipy sqrtm retries here
+        ref = st.frechet_distance_np(mu, sigma, mu + 1.0, sigma)  # retried
+        got = st.frechet_distance_eigh_np(mu, sigma, mu + 1.0, sigma)
+        assert np.isfinite(got)
+        assert got == float(d)  # |delta mu|^2 exactly; trace terms all zero
+        assert abs(got - ref) < 1e-3  # the eps-retry offset scale, O(eps*d)
+
 
 class TestFrechetLowRank:
     @pytest.mark.parametrize("d,n,m", [(64, 20, 24), (256, 40, 40), (2048, 32, 48)])
