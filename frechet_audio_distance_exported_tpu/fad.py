@@ -358,13 +358,20 @@ class FrechetAudioDistance:
         num_files = num_files or self.pipeline.file_batch
         rng = np.random.default_rng(0)
         for dur in durations:
-            clips = [
+            f32 = [
                 (rng.standard_normal(int(self.sample_rate * dur)) * 0.1).astype(np.float32)
                 for _ in range(num_files)
             ]
-            self.pipeline.embed_files(clips, self.sample_rate, strict=False)
-            if device_stats:
-                # state=None compiles the init variant; threading the state
-                # back compiles the update variant.
-                state = self.pipeline.accumulate_stats(clips, self.sample_rate)
-                self.pipeline.accumulate_stats(clips, self.sample_rate, state=state)
+            # PCM16 corpora at the model rate ship over the int16 wire
+            # (pipeline.as_int16_exact) — a DIFFERENT jit key from float32
+            # waves, so both variants are warmed; off-grid noise covers f32,
+            # k/32768-grid clips cover int16 (review r5).
+            i16 = [np.round(c * 32768.0).clip(-32768, 32767) / 32768.0 for c in f32]
+            i16 = [c.astype(np.float32) for c in i16]
+            for clips in (f32, i16):
+                self.pipeline.embed_files(clips, self.sample_rate, strict=False)
+                if device_stats:
+                    # state=None compiles the init variant; threading the
+                    # state back compiles the update variant.
+                    state = self.pipeline.accumulate_stats(clips, self.sample_rate)
+                    self.pipeline.accumulate_stats(clips, self.sample_rate, state=state)

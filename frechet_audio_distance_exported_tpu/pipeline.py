@@ -125,10 +125,17 @@ def bucket_len(n: int, minimum: int = 2048) -> int:
 
 
 def bucket_batch(n: int, cap: int) -> int:
-    """Pad batch sizes to powers of two up to ``cap``."""
+    """Pad batch sizes to powers of two, clamped to ``cap``.
+
+    The clamp applies below cap too: rounding a trailing chunk up past a
+    non-power-of-two cap (e.g. 33 -> 64 with cap 43) would run a program
+    up to ~2x the per-program activation footprint the cap was fitted to —
+    an OOM risk on paths already at the measured HBM knee (review r5). A
+    cap-sized bucket adds no new compiled shape: the n >= cap branch
+    already emits it."""
     if n >= cap:
         return cap
-    return 1 << (int(n - 1).bit_length() if n > 1 else 0)
+    return min(cap, 1 << (int(n - 1).bit_length() if n > 1 else 0))
 
 
 def cast_model_params(family: str, params, dtype):
@@ -452,6 +459,12 @@ class EmbeddingPipeline:
                 self._unmeshed_batching
             )
             self._unmeshed_batching = None
+            # Un-commit the params from the old mesh: leaving them device_put
+            # with a replicated NamedSharding makes every post-unmesh jit
+            # compile as a multi-device GSPMD program (redundant N-x compute,
+            # and GSPMD has no partitioning rule for the pallas_call
+            # frontends the shard_map wrapping exists to protect) — review r5.
+            self.params = jax.device_put(self.params, jax.devices()[0])
 
     def _core(self, *key):
         """Memoized frontend+model closure per (mesh, static-shape key) — a
@@ -822,10 +835,18 @@ class EmbeddingPipeline:
                 need = int(np.ceil(need * sr / fe.CLAP_SAMPLE_RATE)) + 4096
             if len(data) > need:
                 data = data[:need]
-            # Pad the *waveform* to 10 s before the mel (reference:
-            # fad.py:354-359), then quantize (zeros are fixed points).
-            if len(data) < fe.CLAP_MAX_SAMPLES:
-                data = np.pad(data, (0, fe.CLAP_MAX_SAMPLES - len(data)))
+            # Pad the *waveform* before the mel (reference: fad.py:354-359),
+            # then quantize (zeros are fixed points). The reference pads to
+            # 480000 samples at the SOURCE rate; for sr < 48 kHz that is
+            # 3-6x more zeros than the 1001-frame mel can ever read, so the
+            # pad target is capped at the read window (`need`) — bitwise
+            # identical for frames 0..1000 by the same finite-filter-support
+            # prefix argument as the truncation above, while resampling and
+            # shipping 3x less (review r5). For sr >= 48 kHz need > 480000,
+            # so the reference's pad semantics are unchanged there.
+            pad_target = min(fe.CLAP_MAX_SAMPLES, need)
+            if len(data) < pad_target:
+                data = np.pad(data, (0, pad_target - len(data)))
             data = data.astype(np.float32)
             data = (data * 32767.0).astype(np.int16).astype(np.float32) / 32767.0
             if sr != fe.CLAP_SAMPLE_RATE:

@@ -188,7 +188,9 @@ class TestEndToEndVGGish:
         before = pl._fused_vggish_stats_step._cache_size()
         fad.warmup(durations=(1.0,), num_files=2)
         after = pl._fused_vggish_stats_step._cache_size()
-        assert after >= before + 2, (before, after)  # init + update variants
+        # (init + update variants) x (float32 wave + int16 wire) — PCM16
+        # corpora ship int16, a different jit key (review r5).
+        assert after >= before + 4, (before, after)
 
     def test_batching_invariance(self, fad, sine_audio):
         """Embeddings are identical whether files go through together or alone

@@ -95,6 +95,18 @@ class TestCLAP:
         e2 = fad._get_embedding_for_audio(a)
         np.testing.assert_array_equal(e1, e2)
 
+    def test_low_sr_pad_cap_matches_reference_full_pad(self, fad):
+        """For sr < 48 kHz the reference pads to 480000 SOURCE samples (3x
+        what the 1001-frame mel can read at 16 kHz); the pipeline caps the
+        pad at the mel read window instead (review r5). Feeding the
+        full-reference-pad waveform explicitly must embed identically to the
+        raw clip — the finite-filter-support prefix argument, asserted."""
+        rng = np.random.default_rng(4)
+        clip = (rng.standard_normal(16000 * 3) * 0.2).astype(np.float32)
+        ref_padded = np.pad(clip, (0, 480000 - len(clip)))  # reference's pad
+        out = fad.get_embeddings([clip, ref_padded], 16000)
+        np.testing.assert_array_equal(out[0], out[1])
+
     def test_long_audio_embeds_by_mel_truncation(self, fad, sine_audio):
         """Audio past 10 s is supported via the reference's 1001-frame mel
         truncation (fad.py:69-91): only target samples < (1001+2)*480 can

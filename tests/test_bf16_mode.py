@@ -195,6 +195,11 @@ def test_attn_mode_is_a_static_arg_not_a_global():
     pipe.set_mesh(None)
     # Untoggling restores the ORIGINAL cached core (and its jitted programs).
     assert pipe._core(*key) is base_core
+    # ...and un-commits the params from the old mesh: leaving them replicated
+    # across it would make every post-unmesh jit a multi-device GSPMD
+    # program (review r5).
+    leaves = jax.tree_util.tree_leaves(pipe.params)
+    assert all(len(leaf.sharding.device_set) == 1 for leaf in leaves)
 
 
 def test_bf16_encodec_mixed_precision(monkeypatch):

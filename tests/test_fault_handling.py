@@ -97,3 +97,19 @@ class TestHBMScale:
         monkeypatch.setattr(pl, "_device_hbm_bytes", lambda: 4 * 2**30)
         p = pl.EmbeddingPipeline("vggish", params={}, file_batch=64)
         assert p.file_batch == 64
+
+
+def test_bucket_batch_never_exceeds_cap():
+    """Rounding a trailing chunk up to a power of two past a non-power-of-two
+    cap would run a program up to ~2x the activation footprint the cap was
+    fitted to — an OOM risk at the measured HBM knees (review r5)."""
+    from frechet_audio_distance_exported_tpu import pipeline as pl
+
+    assert pl.bucket_batch(33, 43) == 43   # would have been 64
+    assert pl.bucket_batch(9, 10) == 10    # would have been 16
+    assert pl.bucket_batch(8, 43) == 8     # power of two under cap: unchanged
+    assert pl.bucket_batch(50, 43) == 43   # over cap clamps (pre-existing)
+    assert pl.bucket_batch(1, 43) == 1
+    for n in range(1, 130):
+        for cap in (1, 2, 10, 43, 128):
+            assert pl.bucket_batch(n, cap) <= cap
